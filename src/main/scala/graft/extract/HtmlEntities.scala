@@ -1,0 +1,153 @@
+package graft.extract
+
+/** HTML character-reference decoding.
+  *
+  * The reference pipeline parses HTML with BeautifulSoup+lxml
+  * (`/root/reference/sidecar/chunker.py:543,631`), which decodes character
+  * references in text nodes and attribute values. We reproduce that with the
+  * HTML4 named-entity set plus numeric references (decimal and hex). Named
+  * references require a terminating semicolon (libxml2 behavior); numeric
+  * references are decoded with or without it, matching lenient parsers.
+  */
+object HtmlEntities {
+
+  /** HTML4 named entities (superset of what libxml2 resolves by default). */
+  private val named: Map[String, String] = Map(
+    // XML / basic
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    // Latin-1
+    "nbsp" -> " ", "iexcl" -> "¡", "cent" -> "¢",
+    "pound" -> "£", "curren" -> "¤", "yen" -> "¥",
+    "brvbar" -> "¦", "sect" -> "§", "uml" -> "¨",
+    "copy" -> "©", "ordf" -> "ª", "laquo" -> "«",
+    "not" -> "¬", "shy" -> "­", "reg" -> "®",
+    "macr" -> "¯", "deg" -> "°", "plusmn" -> "±",
+    "sup2" -> "²", "sup3" -> "³", "acute" -> "´",
+    "micro" -> "µ", "para" -> "¶", "middot" -> "·",
+    "cedil" -> "¸", "sup1" -> "¹", "ordm" -> "º",
+    "raquo" -> "»", "frac14" -> "¼", "frac12" -> "½",
+    "frac34" -> "¾", "iquest" -> "¿",
+    "Agrave" -> "À", "Aacute" -> "Á", "Acirc" -> "Â",
+    "Atilde" -> "Ã", "Auml" -> "Ä", "Aring" -> "Å",
+    "AElig" -> "Æ", "Ccedil" -> "Ç", "Egrave" -> "È",
+    "Eacute" -> "É", "Ecirc" -> "Ê", "Euml" -> "Ë",
+    "Igrave" -> "Ì", "Iacute" -> "Í", "Icirc" -> "Î",
+    "Iuml" -> "Ï", "ETH" -> "Ð", "Ntilde" -> "Ñ",
+    "Ograve" -> "Ò", "Oacute" -> "Ó", "Ocirc" -> "Ô",
+    "Otilde" -> "Õ", "Ouml" -> "Ö", "times" -> "×",
+    "Oslash" -> "Ø", "Ugrave" -> "Ù", "Uacute" -> "Ú",
+    "Ucirc" -> "Û", "Uuml" -> "Ü", "Yacute" -> "Ý",
+    "THORN" -> "Þ", "szlig" -> "ß",
+    "agrave" -> "à", "aacute" -> "á", "acirc" -> "â",
+    "atilde" -> "ã", "auml" -> "ä", "aring" -> "å",
+    "aelig" -> "æ", "ccedil" -> "ç", "egrave" -> "è",
+    "eacute" -> "é", "ecirc" -> "ê", "euml" -> "ë",
+    "igrave" -> "ì", "iacute" -> "í", "icirc" -> "î",
+    "iuml" -> "ï", "eth" -> "ð", "ntilde" -> "ñ",
+    "ograve" -> "ò", "oacute" -> "ó", "ocirc" -> "ô",
+    "otilde" -> "õ", "ouml" -> "ö", "divide" -> "÷",
+    "oslash" -> "ø", "ugrave" -> "ù", "uacute" -> "ú",
+    "ucirc" -> "û", "uuml" -> "ü", "yacute" -> "ý",
+    "thorn" -> "þ", "yuml" -> "ÿ",
+    // typographic / symbols (HTML4)
+    "OElig" -> "Œ", "oelig" -> "œ", "Scaron" -> "Š",
+    "scaron" -> "š", "Yuml" -> "Ÿ", "fnof" -> "ƒ",
+    "circ" -> "ˆ", "tilde" -> "˜",
+    "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
+    "zwnj" -> "‌", "zwj" -> "‍", "lrm" -> "‎",
+    "rlm" -> "‏", "ndash" -> "–", "mdash" -> "—",
+    "lsquo" -> "‘", "rsquo" -> "’", "sbquo" -> "‚",
+    "ldquo" -> "“", "rdquo" -> "”", "bdquo" -> "„",
+    "dagger" -> "†", "Dagger" -> "‡", "bull" -> "•",
+    "hellip" -> "…", "permil" -> "‰", "prime" -> "′",
+    "Prime" -> "″", "lsaquo" -> "‹", "rsaquo" -> "›",
+    "oline" -> "‾", "frasl" -> "⁄", "euro" -> "€",
+    "trade" -> "™", "alefsym" -> "ℵ",
+    "larr" -> "←", "uarr" -> "↑", "rarr" -> "→",
+    "darr" -> "↓", "harr" -> "↔", "crarr" -> "↵",
+    "lArr" -> "⇐", "uArr" -> "⇑", "rArr" -> "⇒",
+    "dArr" -> "⇓", "hArr" -> "⇔",
+    "forall" -> "∀", "part" -> "∂", "exist" -> "∃",
+    "empty" -> "∅", "nabla" -> "∇", "isin" -> "∈",
+    "notin" -> "∉", "ni" -> "∋", "prod" -> "∏",
+    "sum" -> "∑", "minus" -> "−", "lowast" -> "∗",
+    "radic" -> "√", "prop" -> "∝", "infin" -> "∞",
+    "ang" -> "∠", "and" -> "∧", "or" -> "∨",
+    "cap" -> "∩", "cup" -> "∪", "int" -> "∫",
+    "there4" -> "∴", "sim" -> "∼", "cong" -> "≅",
+    "asymp" -> "≈", "ne" -> "≠", "equiv" -> "≡",
+    "le" -> "≤", "ge" -> "≥", "sub" -> "⊂",
+    "sup" -> "⊃", "nsub" -> "⊄", "sube" -> "⊆",
+    "supe" -> "⊇", "oplus" -> "⊕", "otimes" -> "⊗",
+    "perp" -> "⊥", "sdot" -> "⋅",
+    // Greek
+    "Alpha" -> "Α", "Beta" -> "Β", "Gamma" -> "Γ",
+    "Delta" -> "Δ", "Epsilon" -> "Ε", "Zeta" -> "Ζ",
+    "Eta" -> "Η", "Theta" -> "Θ", "Iota" -> "Ι",
+    "Kappa" -> "Κ", "Lambda" -> "Λ", "Mu" -> "Μ",
+    "Nu" -> "Ν", "Xi" -> "Ξ", "Omicron" -> "Ο",
+    "Pi" -> "Π", "Rho" -> "Ρ", "Sigma" -> "Σ",
+    "Tau" -> "Τ", "Upsilon" -> "Υ", "Phi" -> "Φ",
+    "Chi" -> "Χ", "Psi" -> "Ψ", "Omega" -> "Ω",
+    "alpha" -> "α", "beta" -> "β", "gamma" -> "γ",
+    "delta" -> "δ", "epsilon" -> "ε", "zeta" -> "ζ",
+    "eta" -> "η", "theta" -> "θ", "iota" -> "ι",
+    "kappa" -> "κ", "lambda" -> "λ", "mu" -> "μ",
+    "nu" -> "ν", "xi" -> "ξ", "omicron" -> "ο",
+    "pi" -> "π", "rho" -> "ρ", "sigmaf" -> "ς",
+    "sigma" -> "σ", "tau" -> "τ", "upsilon" -> "υ",
+    "phi" -> "φ", "chi" -> "χ", "psi" -> "ψ",
+    "omega" -> "ω", "thetasym" -> "ϑ", "upsih" -> "ϒ",
+    "piv" -> "ϖ",
+  )
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** Decode all character references in `s`. Unknown / malformed references
+    * are left verbatim, matching libxml2's recovery behavior.
+    */
+  def decode(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        var handled = false
+        if (i + 1 < n && s.charAt(i + 1) == '#') {
+          // numeric reference
+          var j = i + 2
+          var hex = false
+          if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) { hex = true; j += 1 }
+          val start = j
+          while (j < n && (if (hex) Character.digit(s.charAt(j), 16) >= 0
+                           else s.charAt(j) >= '0' && s.charAt(j) <= '9')) j += 1
+          if (j > start && j - start <= 7) {
+            try {
+              val cp = Integer.parseInt(s.substring(start, j), if (hex) 16 else 10)
+              if (Character.isValidCodePoint(cp) && cp != 0) {
+                sb.appendCodePoint(cp)
+                i = if (j < n && s.charAt(j) == ';') j + 1 else j
+                handled = true
+              }
+            } catch { case _: NumberFormatException => }
+          }
+        } else {
+          var j = i + 1
+          while (j < n && isNameChar(s.charAt(j)) && j - i <= 32) j += 1
+          if (j < n && s.charAt(j) == ';' && j > i + 1) {
+            named.get(s.substring(i + 1, j)) match {
+              case Some(rep) => sb.append(rep); i = j + 1; handled = true
+              case None => ()
+            }
+          }
+        }
+        if (!handled) { sb.append('&'); i += 1 }
+      }
+    }
+    sb.toString
+  }
+}

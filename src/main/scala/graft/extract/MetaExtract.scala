@@ -1,0 +1,346 @@
+package graft.extract
+
+import java.util.regex.Pattern
+import graft.extract.HtmlDom.HElem
+
+/** Structured-metadata extraction: JSON-LD → OpenGraph → HTML fallback.
+  *
+  * Faithful re-expression of `/root/reference/sidecar/chunker.py:531-576`
+  * (`extract_metadata`) and its helpers (`:140-524`). Values are kept as
+  * [[JVal]] internally so Python truthiness / isinstance dispatch translate
+  * exactly; the Spark row schema stringifies at the edge.
+  */
+object MetaExtract {
+
+  /** The reference's metadata dict. `extra` preserves insertion order
+    * (Python dict semantics) — `/root/reference/sidecar/chunker.py:539-542`. */
+  final case class Meta(
+      title: JVal,
+      description: JVal,
+      author: JVal,
+      published: JVal,
+      modified: JVal,
+      keywords: Vector[String],
+      image: JVal,
+      metaType: JVal,
+      schemaType: JVal,
+      extra: Vector[(String, JVal)]) {
+    def extraGet(k: String): JVal =
+      extra.collectFirst { case (key, v) if key == k => v }.getOrElse(JNull)
+  }
+
+  val emptyMeta: Meta = Meta(JNull, JNull, JNull, JNull, JNull, Vector.empty,
+    JNull, JStr("page"), JNull, Vector.empty)
+
+  // -------------------------------------------------------------------
+  // M1: JSON-LD block scan over RAW html — `_JSONLD_RE`, chunker.py:57-60
+  // -------------------------------------------------------------------
+  private val jsonLdRe: Pattern = Pattern.compile(
+    "<script[^>]*type\\s*=\\s*['\"]application/ld\\+json['\"][^>]*>(.*?)</script>",
+    Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
+
+  /** Priority pick — `_extract_jsonld`, chunker.py:366-407. */
+  def extractJsonLd(html: String): Option[JObj] = {
+    val m = jsonLdRe.matcher(html)
+    val candidates = Vector.newBuilder[JObj]
+    while (m.find()) {
+      JsonLite.parse(TextUtil.stripPy(m.group(1))).foreach {
+        case o: JObj if o.m.contains("@graph") =>          // M2: @graph flatten
+          o("@graph") match {
+            case JArr(xs) => xs.foreach { case io: JObj => candidates += io; case _ => () }
+            case _ => ()
+          }
+        case JArr(xs) => xs.foreach { case io: JObj => candidates += io; case _ => () }
+        case o: JObj => candidates += o
+        case _ => ()
+      }
+    }
+    val cs = candidates.result()
+    if (cs.isEmpty) None
+    else {
+      // M3: type priority Recipe > Article > NewsArticle > BlogPosting > Product > Event
+      val priority = Vector("Recipe", "Article", "NewsArticle", "BlogPosting", "Product", "Event")
+      priority.iterator
+        .flatMap(p => cs.find(c => typesOf(c).contains(p)))
+        .nextOption()
+        .orElse(Some(cs.head))
+    }
+  }
+
+  /** `@type` as list of strings (str-or-list in source) — chunker.py:401-402. */
+  private def typesOf(c: JObj): Vector[String] = c("@type") match {
+    case JArr(xs) => xs.collect { case JStr(s) => s }
+    case JStr(s) => Vector(s)
+    case _ => Vector.empty
+  }
+
+  // -------------------------------------------------------------------
+  // M9: author normalization — `_extract_author`, chunker.py:140-151
+  // -------------------------------------------------------------------
+  def extractAuthor(v: JVal): JVal = v match {
+    case x if !x.truthy => JNull
+    case s: JStr => s
+    case o: JObj =>
+      val n = o("name"); val id = o("@id")
+      if (n.truthy) n else if (id.truthy) id else JNull
+    case JArr(xs) =>
+      val names = xs.map(extractAuthor).collect { case j if j.truthy => j.pyStr }
+      if (names.nonEmpty) JStr(names.mkString(", ")) else JNull
+    case _ => JNull
+  }
+
+  // -------------------------------------------------------------------
+  // M10: keywords — `_extract_keywords`, chunker.py:188-195
+  // -------------------------------------------------------------------
+  def extractKeywords(v: JVal): Vector[String] = v match {
+    case x if !x.truthy => Vector.empty
+    case JArr(xs) => xs.map(k => TextUtil.stripPy(k.pyStr)).filter(_.nonEmpty)
+    case JStr(s) => s.split(",", -1).toVector.map(TextUtil.stripPy).filter(_.nonEmpty)
+    case _ => Vector.empty
+  }
+
+  /** M11: image pick — list → first element, else scalar (chunker.py:236). */
+  private def pickImage(v: JVal): JVal = v match {
+    case JArr(xs) => xs.headOption.getOrElse(JNull)
+    case other => other
+  }
+
+  // -------------------------------------------------------------------
+  // M4 helper: `_flatten_instructions`, chunker.py:158-185
+  // -------------------------------------------------------------------
+  def flattenInstructions(v: JVal): Vector[String] = {
+    if (!v.truthy) return Vector.empty
+    v match {
+      case JStr(s) => Vector(s)
+      case _ =>
+        val items = v match { case JArr(xs) => xs; case other => Vector(other) }
+        items.flatMap {
+          case JStr(s) => Vector(s)
+          case item: JObj =>
+            item("@type") match {
+              case JStr("HowToSection") =>
+                val name = item("name")
+                val hdr = if (name.truthy) Vector(s"## ${name.pyStr}") else Vector.empty
+                hdr ++ flattenInstructions(item("itemListElement"))
+              case _ => // HowToStep and any other dict: take `text` if truthy
+                val t = item("text")
+                if (t.truthy) Vector(t.pyStr) else Vector.empty
+            }
+          case _ => Vector.empty
+        }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Per-@type mappers — chunker.py:199-347
+  // -------------------------------------------------------------------
+
+  /** `_map_recipe` — chunker.py:199-240. */
+  def mapRecipe(ld: JObj): Meta = {
+    val extra = Vector.newBuilder[(String, JVal)]
+    if (ld("recipeIngredient").truthy) extra += "ingredients" -> ld("recipeIngredient")
+    val instructions = flattenInstructions(ld("recipeInstructions"))
+    if (instructions.nonEmpty)
+      extra += "instructions" -> JArr(instructions.map(JStr.apply))
+    for (tf <- Seq("prepTime", "cookTime", "totalTime"); v = ld(tf) if v.truthy)
+      extra += tf -> JStr(TextUtil.parseIsoDuration(v.pyStr))
+    var ratingCountSet = false
+    ld("aggregateRating") match {
+      case agg: JObj =>
+        if (agg("ratingValue").truthy) extra += "rating" -> agg("ratingValue")
+        if (agg("ratingCount").truthy) { extra += "rating_count" -> agg("ratingCount"); ratingCountSet = true }
+        if (agg("reviewCount").truthy && !ratingCountSet)
+          extra += "rating_count" -> agg("reviewCount")
+      case _ => ()
+    }
+    if (ld("recipeCategory").truthy) extra += "category" -> ld("recipeCategory")
+    if (ld("recipeYield").truthy) extra += "yield" -> ld("recipeYield")
+    if (ld("recipeSubCategories").truthy) extra += "sub_categories" -> ld("recipeSubCategories")
+    Meta(
+      title = ld("name"), description = ld("description"),
+      author = extractAuthor(ld("author")),
+      published = ld("datePublished"), modified = ld("dateModified"),
+      keywords = extractKeywords(ld("keywords")), image = pickImage(ld("image")),
+      metaType = JStr("recipe"), schemaType = ld("@type"), extra = extra.result())
+  }
+
+  /** `_map_article` — chunker.py:243-256. */
+  def mapArticle(ld: JObj): Meta = Meta(
+    title = if (ld("headline").truthy) ld("headline") else ld("name"),
+    description = ld("description"),
+    author = extractAuthor(ld("author")),
+    published = ld("datePublished"), modified = ld("dateModified"),
+    keywords = extractKeywords(ld("keywords")), image = pickImage(ld("image")),
+    metaType = JStr("article"), schemaType = ld("@type"),
+    extra = if (ld("articleSection").truthy)
+      Vector("articleSection" -> ld("articleSection")) else Vector.empty)
+
+  /** `_map_product` — chunker.py:259-304. */
+  def mapProduct(ld: JObj): Meta = {
+    val extra = Vector.newBuilder[(String, JVal)]
+    ld("brand") match {
+      case b: JObj => extra += "brand" -> b("name") // may be JNull, matching Python None
+      case JStr(s) => extra += "brand" -> JStr(s)
+      case _ => ()
+    }
+    def offerFields(o: JObj): Unit = {
+      if (o("price").truthy) extra += "price" -> o("price")
+      if (o("priceCurrency").truthy) extra += "currency" -> o("priceCurrency")
+      if (o("availability").truthy) extra += "availability" -> o("availability")
+    }
+    ld("offers") match {
+      case o: JObj => offerFields(o)
+      case JArr(xs) if xs.nonEmpty =>
+        xs.head match { case o: JObj => offerFields(o); case _ => () }
+      case _ => ()
+    }
+    ld("aggregateRating") match {
+      case agg: JObj =>
+        if (agg("ratingValue").truthy) extra += "rating" -> agg("ratingValue")
+        if (agg("ratingCount").truthy) extra += "rating_count" -> agg("ratingCount")
+      case _ => ()
+    }
+    Meta(
+      title = ld("name"), description = ld("description"),
+      author = JNull, published = JNull, modified = JNull,
+      keywords = extractKeywords(ld("keywords")), image = pickImage(ld("image")),
+      metaType = JStr("product"), schemaType = ld("@type"), extra = extra.result())
+  }
+
+  /** `_map_event` — chunker.py:307-331. */
+  def mapEvent(ld: JObj): Meta = {
+    val extra = Vector.newBuilder[(String, JVal)]
+    ld("location") match {
+      case l: JObj => extra += "location" -> l("name")
+      case JStr(s) => extra += "location" -> JStr(s)
+      case _ => ()
+    }
+    if (ld("startDate").truthy) extra += "startDate" -> ld("startDate")
+    if (ld("endDate").truthy) extra += "endDate" -> ld("endDate")
+    Meta(
+      title = ld("name"), description = ld("description"),
+      author = JNull, published = JNull, modified = JNull,
+      keywords = extractKeywords(ld("keywords")), image = pickImage(ld("image")),
+      metaType = JStr("event"), schemaType = ld("@type"), extra = extra.result())
+  }
+
+  /** `_map_default` — chunker.py:334-347. */
+  def mapDefault(ld: JObj): Meta = Meta(
+    title = if (ld("name").truthy) ld("name") else ld("headline"),
+    description = ld("description"),
+    author = extractAuthor(ld("author")),
+    published = ld("datePublished"), modified = ld("dateModified"),
+    keywords = extractKeywords(ld("keywords")), image = pickImage(ld("image")),
+    metaType = JStr("page"), schemaType = ld("@type"), extra = Vector.empty)
+
+  /** `_TYPE_MAP` — chunker.py:351-359. */
+  private val typeMap: Map[String, JObj => Meta] = Map(
+    "Recipe" -> mapRecipe, "Article" -> mapArticle, "NewsArticle" -> mapArticle,
+    "BlogPosting" -> mapArticle, "Product" -> mapProduct, "Event" -> mapEvent,
+    "WebPage" -> mapDefault)
+
+  // -------------------------------------------------------------------
+  // M13: OpenGraph / Twitter — `_extract_opengraph`, chunker.py:414-468
+  // -------------------------------------------------------------------
+
+  private def findMetaBy(doc: HElem, attrName: String, value: String): Option[HElem] =
+    doc.descendantElems.find(e => e.name == "meta" && e.attr(attrName).contains(value))
+
+  private def metaContent(doc: HElem, attrName: String, value: String): JVal =
+    findMetaBy(doc, attrName, value)
+      .flatMap(_.attr("content")).filter(_.nonEmpty).map(JStr.apply).getOrElse(JNull)
+
+  /** Returns None when no og title/description/image (reference returns {}). */
+  def extractOpenGraph(doc: HElem): Option[Meta] = {
+    def og(p: String): JVal = metaContent(doc, "property", s"og:$p")
+    def tw(n: String): JVal = metaContent(doc, "name", s"twitter:$n")
+    def or(a: JVal, b: => JVal): JVal = if (a.truthy) a else b
+
+    val title = or(og("title"), tw("title"))
+    val description = or(og("description"), tw("description"))
+    val image = or(og("image"), tw("image"))
+    val ogType = og("type")
+    val author = metaContent(doc, "property", "article:author")
+    val published = metaContent(doc, "property", "article:published_time")
+    val modified = metaContent(doc, "property", "article:modified_time")
+    val keywords = doc.descendantElems
+      .filter(e => e.name == "meta" && e.attr("property").contains("article:tag"))
+      .flatMap(_.attr("content")).filter(_.nonEmpty).toVector
+
+    if (!title.truthy && !description.truthy && !image.truthy) None
+    else Some(Meta(title, description, author, published, modified, keywords,
+      image, if (ogType.truthy) ogType else JStr("page"), JNull, Vector.empty))
+  }
+
+  // -------------------------------------------------------------------
+  // M14: HTML fallback — `_extract_html_meta`, chunker.py:475-524
+  // -------------------------------------------------------------------
+  def extractHtmlMeta(doc: HElem): Meta = {
+    var title: JVal = JNull
+    doc.find("title").foreach(t => title = JStr(TextUtil.cleanText(t.getText)))
+    doc.find("h1").foreach(h => title = JStr(TextUtil.cleanText(h.getText)))
+
+    val description = metaContent(doc, "name", "description")
+    val author = metaContent(doc, "name", "author")
+    val published = publishedFrom(doc)
+    val keywords = metaContent(doc, "name", "keywords") match {
+      case JStr(s) => s.split(",", -1).toVector.map(TextUtil.stripPy).filter(_.nonEmpty)
+      case _ => Vector.empty
+    }
+    Meta(title, description, author, published, JNull, keywords, JNull,
+      JStr("page"), JNull, Vector.empty)
+  }
+
+  /** published-date resolution shared by `_extract_html_meta` (:509-517) and
+    * `_extract_meta` (:599-609): meta property|name in
+    * (article:published_time, datePublished, date), then `<time datetime>`. */
+  def publishedFrom(doc: HElem): JVal = {
+    val fromMeta = Seq("article:published_time", "datePublished", "date").iterator
+      .map { attr =>
+        findMetaBy(doc, "property", attr).orElse(findMetaBy(doc, "name", attr))
+          .flatMap(_.attr("content")).filter(_.nonEmpty)
+      }
+      .collectFirst { case Some(v) => JStr(v) }
+    fromMeta.getOrElse {
+      doc.descendantElems
+        .find(e => e.name == "time" && e.attrs.contains("datetime"))
+        .map(t => JStr(t.attrs("datetime"))).getOrElse(JNull)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Unified precedence merge — `extract_metadata`, chunker.py:531-576
+  // -------------------------------------------------------------------
+  def extractMetadata(html: String, doc: HElem): Meta = {
+    extractJsonLd(html) match {
+      case Some(ld) =>
+        val meta = typesOf(ld).collectFirst {
+          case t if typeMap.contains(t) => typeMap(t)(ld)
+        }.getOrElse(mapDefault(ld))
+        // fill blanks from OpenGraph — chunker.py:558-562
+        extractOpenGraph(doc) match {
+          case Some(og) =>
+            var m = meta
+            if (!m.title.truthy && og.title.truthy) m = m.copy(title = og.title)
+            if (!m.description.truthy && og.description.truthy) m = m.copy(description = og.description)
+            if (!m.author.truthy && og.author.truthy) m = m.copy(author = og.author)
+            if (!m.published.truthy && og.published.truthy) m = m.copy(published = og.published)
+            if (!m.image.truthy && og.image.truthy) m = m.copy(image = og.image)
+            m
+          case None => meta
+        }
+      case None =>
+        extractOpenGraph(doc) match {
+          case Some(og) =>
+            val hm = extractHtmlMeta(doc)
+            var m = og
+            if (!m.title.truthy && hm.title.truthy) m = m.copy(title = hm.title)
+            if (!m.description.truthy && hm.description.truthy) m = m.copy(description = hm.description)
+            if (!m.author.truthy && hm.author.truthy) m = m.copy(author = hm.author)
+            if (!m.published.truthy && hm.published.truthy) m = m.copy(published = hm.published)
+            m
+          case None => extractHtmlMeta(doc)
+        }
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import HtmlDom._
+
+class HtmlDomSpec extends AnyFunSuite {
+
+  test("basic tree + getText with no separators") {
+    val doc = parse("<html><body><div>a<p>b</p>c</div></body></html>")
+    assert(doc.getText == "abc")
+    val p = doc.find("p").get
+    assert(p.getText == "b")
+  }
+
+  test("attributes: quoting styles, entity decode, case folding") {
+    val doc = parse("""<div CLASS="x  y" data-A='1' checked plain=v title="a&amp;b">t</div>""")
+    val d = doc.find("div").get
+    assert(d.classList == Seq("x", "y"))
+    assert(d.attr("data-a").contains("1"))
+    assert(d.attr("checked").contains(""))
+    assert(d.attr("plain").contains("v"))
+    assert(d.attr("title").contains("a&b"))
+  }
+
+  test("void elements don't nest") {
+    val doc = parse("<p>a<br>b<img src=x>c</p>")
+    assert(doc.find("p").get.getText == "abc")
+    assert(doc.find("br").get.children.isEmpty)
+  }
+
+  test("script/style content is raw and excluded from surrounding text") {
+    val doc = parse("<body><script>if (a<b) { x() }</script><p>keep</p></body>")
+    assert(doc.find("script").get.getText == "if (a<b) { x() }")
+    assert(doc.find("p").get.getText == "keep")
+  }
+
+  test("comments and doctype are dropped") {
+    val doc = parse("<!DOCTYPE html><!-- c --><html><body><p>x<!-- inner -->y</p></body></html>")
+    assert(doc.find("p").get.getText == "xy")
+  }
+
+  test("entities decoded in text") {
+    val doc = parse("<p>fish &amp; chips &eacute; &#233; &#xE9; &unknown; &amp</p>")
+    assert(doc.find("p").get.getText == "fish & chips é é é &unknown; &amp")
+  }
+
+  test("implied close: p closes p, li closes li") {
+    val doc = parse("<body><p>one<p>two<ul><li>a<li>b</ul></body>")
+    val ps = doc.findAll("p")
+    assert(ps.map(_.getText) == Seq("one", "two"))
+    assert(doc.findAll("li").map(_.getText) == Seq("a", "b"))
+    // ul is not inside p (p implicitly closed)
+    assert(doc.find("ul").get.parent.name == "body")
+  }
+
+  test("implicit html/head/body synthesis + stray text wrapped in p") {
+    val doc = parse("<title>T</title><h1>Head</h1>plain tail text")
+    assert(doc.find("title").get.parent.name == "head")
+    val body = doc.find("body").get
+    assert(body.find("h1").isDefined)
+    val p = body.find("p").get
+    assert(p.getText == "plain tail text")
+  }
+
+  test("bare text only input becomes p under body") {
+    val doc = parse("just some plain text")
+    assert(doc.find("body").get.children.collect { case e: HElem => e.name } == Seq("p"))
+    assert(doc.getText == "just some plain text")
+  }
+
+  test("inline run wrapped together") {
+    val doc = parse("<body>before <b>bold</b> after<div>block</div></body>")
+    val body = doc.find("body").get
+    val names = body.children.collect { case e: HElem => e.name }.toSeq
+    assert(names == Seq("p", "div"))
+    assert(body.find("p").get.getText == "before bold after")
+  }
+
+  test("decompose removes subtree from traversal") {
+    val doc = parse("<body><div id=x><p>gone</p></div><p>stay</p></body>")
+    doc.findAll((e: HElem) => e.attr("id").contains("x")).foreach(_.decompose())
+    assert(doc.findAll("p").map(_.getText) == Seq("stay"))
+  }
+
+  test("mismatched close tags ignored; unclosed tags recovered") {
+    val doc = parse("<body><p>a</span></p><div>b</body>")
+    assert(doc.find("p").get.getText == "a")
+    assert(doc.find("div").get.getText == "b")
+  }
+
+  test("descendants order is document order") {
+    val doc = parse("<body><div><h1>t</h1><p>a</p></div><p>b</p></body>")
+    val names = doc.find("body").get.descendants.collect { case e: HElem => e.name }.toVector
+    assert(names == Vector("div", "h1", "p", "p"))
+  }
+
+  test("duplicate html attrs merged (lang preserved)") {
+    val doc = parse("<html lang=\"fr-CA\"><body><html lang=\"xx\"><p>t</p></body></html>")
+    assert(doc.find("html").get.attr("lang").contains("fr-CA"))
+  }
+
+  test("rcdata title decodes entities, ignores tags") {
+    val doc = parse("<head><title>a &amp; <b> c</title></head>")
+    assert(doc.find("title").get.getText == "a & <b> c")
+    assert(doc.find("b").isEmpty)
+  }
+}

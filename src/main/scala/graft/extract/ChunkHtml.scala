@@ -19,6 +19,11 @@ object ChunkHtml {
 
   final case class Chunk(text: String, chunkType: String)
 
+  /** Extraction result + per-row block metrics (north-rule "blocks
+    * kept/dropped"): kept = elements that emitted a chunk; dropped =
+    * elements visited in the walk that emitted nothing (short/dup/untyped). */
+  final case class Extraction(page: ParsedPage, blocksKept: Int, blocksDropped: Int)
+
   final case class ParsedPage(
       url: String,
       title: String,
@@ -84,7 +89,11 @@ object ChunkHtml {
   }
 
   /** Full pipeline. `pageUpdated` replaces the reference's wall-clock default. */
-  def apply(url: String, html: String, pageUpdated: Option[String] = None): ParsedPage = {
+  def apply(url: String, html: String, pageUpdated: Option[String] = None): ParsedPage =
+    extract(url, html, pageUpdated).page
+
+  /** [[apply]] plus block-level metrics. */
+  def extract(url: String, html: String, pageUpdated: Option[String] = None): Extraction = {
     // E1: parse once; the reference parses twice (extract_metadata + chunk_html)
     // on the same input — one DOM serves both since metadata runs pre-strip.
     val doc = HtmlDom.parse(html)
@@ -117,8 +126,11 @@ object ChunkHtml {
     // E6: descendant walk → typed chunks with in-page dedup — chunker.py:662-700
     val chunks = mutable.ArrayBuffer.empty[Chunk]
     val seenTexts = mutable.HashSet.empty[String]
+    var blocksKept = 0
+    var blocksDropped = 0
     contentRoot.descendants.foreach {
       case el: HElem =>
+        val before = chunks.length
         var text = TextUtil.cleanText(el.getText)
         if (text.nonEmpty && TextUtil.cpLength(text) >= 20 && !seenTexts.contains(text)) {
           val chunkType = el.name match {
@@ -136,6 +148,7 @@ object ChunkHtml {
             chunks ++= splitLongText(text, chunkType)
           }
         }
+        if (chunks.length > before) blocksKept += 1 else blocksDropped += 1
       case _: HText => ()
     }
 
@@ -177,8 +190,10 @@ object ChunkHtml {
       else if (richMeta.description.truthy) richMeta.description.pyStr
       else title
 
-    ParsedPage(url, title, author, published,
-      updated = pageUpdated.filter(_.nonEmpty), language, summary,
-      chunks.toVector, richMeta)
+    Extraction(
+      ParsedPage(url, title, author, published,
+        updated = pageUpdated.filter(_.nonEmpty), language, summary,
+        chunks.toVector, richMeta),
+      blocksKept, blocksDropped)
   }
 }

@@ -1,0 +1,146 @@
+package graft.job
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.ChunkHtml
+import graft.model.{ExtractedTurn, Turn}
+
+/** Distributed == local oracle (FIXTURES.md §2 item 3), stable ordering,
+  * salting, scalable rank equality, and checkpoint/resume. */
+class ExtractJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("extract-job-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("generator is deterministic and distributed") {
+    val a = Transcripts.generate(spark, 50).collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val b = Transcripts.generate(spark, 50).collect().sortBy(t => (t.conv_id, t.turn_idx))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == Transcripts.expectedCount(50))
+  }
+
+  test("distributed extraction equals single-JVM reference implementation per turn") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, 40)
+    val got = ExtractJob.extract(turns).collect()
+      .map(e => (e.conv_id, e.turn_idx) -> e).toMap
+    val local = turns.collect()
+    assert(local.nonEmpty)
+    local.foreach { t =>
+      val e = got((t.conv_id, t.turn_idx))
+      val page = ChunkHtml(s"${t.conv_id}#${t.turn_idx}", t.text).chunks
+      // per-turn text equality under stable chunk order (the north rule)
+      assert(e.chunks.map(c => (c.text, c.chunk_type)) ==
+        page.map(c => (c.text, c.chunkType)),
+        s"turn ${t.conv_id}#${t.turn_idx} diverged")
+      assert(e.chunks.map(_.chunk_index) == e.chunks.indices.map(identity))
+      assert(e.n_chunks == e.chunks.length)
+    }
+  }
+
+  test("withTurnPos assigns contiguous 1-based positions per conversation") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, 30)
+    val out = ExtractJob.withTurnPos(ExtractJob.extract(turns)).collect()
+    out.groupBy(_.conv_id).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r.turn_idx, r.ts.getTime))
+      assert(sorted.map(_.turn_pos).toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("scalableTurnPos equals window turn_pos under mega-conversation skew") {
+    val turns = Transcripts.generate(spark, 20, megaTurns = 3000, nMega = 1)
+    val ex = ExtractJob.extract(turns)
+    val viaWindow = ExtractJob.withTurnPos(ex).collect()
+      .map(e => (e.conv_id, e.turn_idx) -> e.turn_pos).toMap
+    val viaScalable = ExtractJob.scalableTurnPos(ex, partitions = 8).collect()
+      .map(e => (e.conv_id, e.turn_idx) -> e.turn_pos).toMap
+    assert(viaWindow == viaScalable)
+    spark.catalog.clearCache()
+  }
+
+  test("salted repartition preserves rows and spreads a mega-conversation") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, 5, megaTurns = 2000, nMega = 1)
+    val salted = ExtractJob.saltedByConv(turns, partitions = 8, saltBuckets = 8)
+    assert(salted.count() == turns.count())
+    val perPartition = salted
+      .filter($"conv_id" === "mega-0")
+      .mapPartitions(it => Iterator.single(it.length)).collect().filter(_ > 0)
+    assert(perPartition.length > 1, "mega conversation should span multiple partitions")
+  }
+
+  test("run + resume: no recompute of completed buckets, identical final output") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, 60)
+    val dirFull = Files.createTempDirectory("graft-full").toString
+    val dirResume = Files.createTempDirectory("graft-resume").toString
+
+    val cfgFull = ExtractJob.Config(dirFull, buckets = 8, groups = 4, runId = "full")
+    ExtractJob.run(turns, cfgFull)
+
+    // simulate a crash after 2 of 4 groups
+    val cfgA = ExtractJob.Config(dirResume, buckets = 8, groups = 4, runId = "a")
+    ExtractJob.run(turns, cfgA, stopAfterGroups = 2)
+    val doneAfterCrash = ExtractJob.completedBuckets(spark, dirResume)
+    assert(doneAfterCrash.nonEmpty && doneAfterCrash.size < 8)
+
+    // resume with a different runId: only remaining buckets processed
+    val cfgB = ExtractJob.Config(dirResume, buckets = 8, groups = 4, runId = "b")
+    ExtractJob.run(turns, cfgB)
+    val lineage = spark.read.parquet(s"$dirResume/lineage").as[graft.model.LineageRow].collect()
+    // no bucket appears under both run ids (nothing recomputed)
+    val byBucket = lineage.groupBy(_.conv_bucket)
+    byBucket.foreach { case (b, rows) =>
+      assert(rows.map(_.run_id).distinct.length == 1, s"bucket $b recomputed")
+    }
+    assert(byBucket.keySet == (0 until 8).toSet)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "turn_pos", "title", "summary", "n_chunks")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(key(ExtractJob.readPages(spark, dirResume)) sameElements
+      key(ExtractJob.readPages(spark, dirFull)))
+    val cFull = ExtractJob.readChunks(spark, dirFull)
+    val cRes = ExtractJob.readChunks(spark, dirResume)
+    assert(cFull.count() == cRes.count())
+    assert(cFull.select("chunk_id", "text").collect().map(_.toSeq).sortBy(_.toString)
+      sameElements cRes.select("chunk_id", "text").collect().map(_.toSeq).sortBy(_.toString))
+  }
+
+  test("metrics side table: exact sums per bucket") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, 25)
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    ExtractJob.run(turns, ExtractJob.Config(dir, buckets = 4, groups = 1, runId = "m"))
+    val metrics = spark.read.parquet(s"$dir/metrics")
+    val totals = metrics.agg(sum("rows_out"), sum("chunks_emitted"),
+      sum("bytes_in")).collect().head
+    val expected = ExtractJob.extract(turns).collect()
+    assert(totals.getLong(0) == expected.length)
+    assert(totals.getLong(1) == expected.map(_.n_chunks.toLong).sum)
+    assert(totals.getLong(2) == expected.map(_.bytes_in).sum)
+    assert(expected.forall(e => e.blocks_kept + e.blocks_dropped >= e.blocks_kept))
+  }
+
+  test("per-turn recipe fixture end-to-end via Spark row") {
+    val t = Turn("conv-x", 0, "user", graft.extract.Fixtures.RECIPE_HTML_SINGLE_QUOTE,
+      "browser", new java.sql.Timestamp(Transcripts.EpochStart * 1000L))
+    val e: ExtractedTurn = ExtractJob.extractOne(t)
+    assert(e.title == "Pâté chinois classique")
+    assert(e.language == "fr-CA")
+    assert(e.chunks.map(_.chunk_type) ==
+      Seq("ingredients", "instructions", "heading", "paragraph"))
+    assert(e.metadata.meta_type == "recipe")
+    assert(e.metadata.extra("prepTime") == "20 min")
+    assert(e.updated == "2026-01-01T00:00:00+00:00")
+    assert(e.page_id.length == 16 && e.chunks.head.id.length == 16)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting, exact and
+  * near dedup. All built from codegen'd `functions._` expressions (no UDFs)
+  * so they stay inside whole-stage codegen and push down through Catalyst;
+  * the documents table's `text` column is the only wide input.
+  */
+object TextOps {
+
+  /** Whitespace word count (reference idiom: `chunker.js:40-42`). */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word pieces + punctuation as separate tokens. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Occurrences of a literal substring (used for relevance + lang ID).
+    * Integer-exact, identical in any SQL engine. */
+  def occurrences(text: Column, term: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(term), "")))
+      / term.length).cast("int")
+
+  /** doc_id, n_chars, n_words, n_tokens, n_punct, stop_hits, quality flags.
+    * Quality scoring per the reference's "content appears real" noise check
+    * spirit (`/root/reference/validator/checks.py:401-439`): all components
+    * integer-exact so the DuckDB oracle matches bit-for-bit. */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to")
+    val stopHits = stops.map(s => occurrences(col("text"), s" $s ")).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      wordCount(col("text")).as("n_words"),
+      tokenCount(col("text")).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[.!?,;:]"), lit(0))).as("n_punct"),
+      stopHits.as("stop_hits"))
+      .withColumn("mean_word_len_x100",
+        (col("n_chars") * 100L / greatest(col("n_words"), lit(1))).cast("long"))
+      .withColumn("is_quality",
+        (col("n_words") >= 5) && (col("mean_word_len_x100") between (200L, 1200L)))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID via function-word hits (n-gram heuristic class;
+    * deterministic tie-break by priority order en>fr>es>de>zh). */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(words: Seq[String]): Column =
+      words.map(w => occurrences(lower(col("text")), s" $w ")).reduce(_ + _)
+    val en = hits(Seq("the", "and", "of"))
+    val fr = hits(Seq("le", "la", "et", "les"))
+    val es = hits(Seq("el", "los", "que", "y"))
+    val de = hits(Seq("der", "die", "und", "das"))
+    docs.select(col("doc_id"), col("lang"), en.as("en_hits"), fr.as("fr_hits"),
+        es.as("es_hits"), de.as("de_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits")
+          && col("en_hits") >= col("de_hits"), "en")
+        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), "fr")
+        .when(col("es_hits") >= col("de_hits"), "es")
+        .otherwise("de"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: canonical = min doc_id per md5(normalized text). The
+    * reference's analog is `seen_texts` / crawl `visited`
+    * (`/root/reference/sidecar/chunker.py:663,699`). Hash-groupBy: one
+    * shuffle of (hash, id) pairs only — text never shuffles. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"),
+        col("doc_id"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
+      .orderBy("text_hash")
+
+  /** Normalized-text md5 fingerprint per document (SQL-parity variant of
+    * document fingerprinting). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Rolling polynomial hash (Rabin-Karp style) — the scale path for
+    * fingerprinting without md5's cost; pure Scala, exposed for tests and
+    * the extraction job. */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Word n-gram Jaccard near-dup: explode shingles, self-join on shingle
+    * hash, |A∩B| / |A∪B| ≥ threshold. Shingle hashes (8-byte md5 prefix)
+    * shuffle instead of text. Output: (doc_a, doc_b, jaccard_x1000). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thresholdX1000: Int = 300): DataFrame = {
+    val shingled = docs.select(col("doc_id"),
+        explode(wordNgrams(lower(col("text")), n)).as("shingle"))
+      .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("sh"))
+      .distinct()
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = shingled.as("a").join(shingled.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard_x1000",
+        (col("inter") * 1000L / (col("n_a") + col("n_b") - col("inter"))).cast("long"))
+      .filter(col("jaccard_x1000") >= thresholdX1000)
+      .select("doc_a", "doc_b", "jaccard_x1000")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Word n-grams as a column of space-joined shingles (pure expressions:
+    * split + transform over index range — no UDF). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val idx = sequence(lit(0), greatest(size(words) - n, lit(-1)))
+    transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
+  }
+
+  /** 64-bit SimHash over whitespace words, each word hashed with xxhash64;
+    * implemented with pure expressions (explode + bit aggregation). */
+  def simHash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = words.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bits, using
+    * 4×16-bit band blocking (exact for maxHamming ≤ 3 by pigeonhole). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val ham = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+}

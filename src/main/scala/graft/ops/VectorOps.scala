@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline; MinHash-free LSH
+  * (random-hyperplane signatures) and a centroid-bucketed IVF variant as
+  * the 100 TB scale path (probe a few buckets instead of all vectors).
+  * Dot products are pure `zip_with`/`aggregate` expressions — codegen'd,
+  * no UDF.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ as a double, sequential fold in index order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k against one query vector (broadcast as
+    * a literal array — no shuffle, one scan, TakeOrderedAndProject). */
+  def cosineTopK(emb: DataFrame, query: Array[Float], k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val q = typedlit(query)
+    val scored = emb.select(col("vec_id"), col("label"),
+      round(cosine(col("embedding"), q), 4).as("cos"))
+    excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`, dim `d`.
+    * Same closed form is reproducible in any engine. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    var h = (p * 131071L + d * 524287L + 12345L)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    ((h & 0xFFFFL).toDouble / 65535.0) - 0.5
+  }
+
+  /** nPlanes-bit LSH signature per vector (sign of dot with each plane). */
+  def lshSignature(emb: DataFrame, dim: Int, nPlanes: Int = 16): DataFrame = {
+    val sig = (0 until nPlanes).map { p =>
+      val plane = typedlit((0 until dim).map(d => planeComponent(p, d)).toArray)
+      when(dot(col("embedding"), plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    emb.withColumn("lsh_sig", sig)
+  }
+
+  /** ANN via LSH buckets: candidates share the query's signature bucket
+    * (multi-probe: exact bucket + single-bit flips), then exact cosine
+    * re-rank. At scale this prunes the scan to a few buckets — partition
+    * the stored table by `lsh_sig` for pushdown. */
+  def lshTopK(emb: DataFrame, dim: Int, query: Array[Float], k: Int,
+      nPlanes: Int = 16, excludeId: Option[Long] = None): DataFrame = {
+    val qSig = (0 until nPlanes).map { p =>
+      val d = (0 until dim).map(i => planeComponent(p, i) * query(i)).sum
+      if (d >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    // multi-probe: exact bucket, all 1-bit flips, all 2-bit flips
+    val oneBit = (0 until nPlanes).map(p => qSig ^ (1L << p))
+    val twoBit = for (p <- 0 until nPlanes; q2 <- p + 1 until nPlanes)
+      yield qSig ^ (1L << p) ^ (1L << q2)
+    val probes = (qSig +: (oneBit ++ twoBit)).distinct
+    val sigd = lshSignature(emb, dim, nPlanes)
+      .filter(col("lsh_sig").isin(probes: _*))
+    cosineTopK(sigd, query, k, excludeId)
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (small broadcast list); queries probe `nProbe` nearest
+    * cells. Centroids here are data-independent deterministic probes — a
+    * k-means step can swap in without changing the plan shape. */
+  def ivfAssign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("embedding"), typedlit(c)).as("s"), lit(i).as("cell"))
+    }
+    emb.withColumn("cell", greatest(scores: _*).getField("cell"))
+  }
+}

@@ -1,0 +1,501 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.job.{ExtractJob, Transcripts}
+import graft.ops.{Dedup, Multimodal, TextOps, VectorOps}
+
+/** The query surface: every read-side operator from SURVEY.md §2.4-§2.10,
+  * plus the training-data-pipeline operators (dedup / similarity / text
+  * analysis / multimodal), each as a `(SparkSession, sfDir) => DataFrame`
+  * with an ANSI-SQL DuckDB oracle where expressible.
+  *
+  * Conventions for bit-exact oracle parity:
+  *  - money/score aggregates in integer cents (`CAST(round(x*100) AS BIGINT)`)
+  *    so sums are exact in both engines;
+  *  - timestamps rendered with `date_format`/`strftime` to strings;
+  *  - every query totally ordered;
+  *  - counts/ranks cast to BIGINT (DuckDB returns int64).
+  */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** integer cents of a double money column — exact in any engine */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ======================================================================
+  // §2.4 projections / filters / predicates  +  §2.8 windows / top-k
+  // ======================================================================
+
+  /** P1+P2+W3: index projection, newest-first string sort with "0000"
+    * null-sentinel (indexer.py:283-292). */
+  private val p1IndexProjection = Q(
+    (s, dir) => rd(s, dir, "orders")
+      .select(col("o_orderkey").as("url_key"), col("o_orderpriority").as("title"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("published"))
+      .orderBy(coalesce(col("published"), lit("0000")).desc, col("url_key").asc)
+      .limit(500),
+    Some("""SELECT o_orderkey AS url_key, o_orderpriority AS title,
+      strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS published FROM orders
+      ORDER BY coalesce(published, '0000') DESC, url_key ASC LIMIT 500"""))
+
+  /** P3+P4: pagination page=3, limit=20 via row_number window
+    * (indexer.py:294-297). */
+  private val p3Pagination = Q(
+    (s, dir) => {
+      val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      rd(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn").between(41, 60))
+        .select("o_orderkey", "rn")
+        .orderBy("rn")
+    },
+    Some("""SELECT o_orderkey, rn FROM (
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+      FROM orders) t WHERE rn BETWEEN 41 AND 60 ORDER BY rn"""))
+
+  /** P5+P9: sanitized case-insensitive substring search
+    * (content.js:144,317-323). */
+  private val p9Search = Q(
+    (s, dir) => {
+      val qRaw = "<b>MERGE</b>" + " pad" * 100 // > 200 chars pre-sanitize
+      val q = qRaw.replaceAll("<[^>]*>", "").take(200).takeWhile(_ != ' ').toLowerCase
+      rd(s, dir, "documents")
+        .filter(lower(col("text")).contains(q))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, lang FROM documents WHERE lower(text) LIKE '%merge%' ORDER BY doc_id"))
+
+  /** P10+W1: relevance scoring (term occurrences), min_score filter,
+    * top-k (main.py:504-505, indexer.py:195-199). */
+  private val p10TopK = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .select(col("doc_id"), TextOps.occurrences(col("text"), "merge").cast("long").as("occ"))
+      .filter(col("occ") >= 2)
+      .orderBy(col("occ").desc, col("doc_id").asc)
+      .limit(25),
+    Some("""SELECT doc_id, (length(text) - length(replace(text, 'merge', ''))) // 5 AS occ
+      FROM documents WHERE (length(text) - length(replace(text, 'merge', ''))) // 5 >= 2
+      ORDER BY occ DESC, doc_id ASC LIMIT 25"""))
+
+  /** P7: excluded-path prefix filter (content.js:77-80). */
+  private val p7ExcludedPrefix = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .filter(!col("source").startsWith("src1"))
+      .select("doc_id", "source")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM documents WHERE source NOT LIKE 'src1%'
+      ORDER BY doc_id"""))
+
+  /** P8: visibility predicates (class-content-api.php:194-199,308-336). */
+  private val p8Visibility = Q(
+    (s, dir) => rd(s, dir, "events")
+      .filter(!col("event_type").isin("error", "view") && col("value") > 50.0)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("value_cents"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type NOT IN ('error','view') AND value > 50.0
+      ORDER BY event_id"""))
+
+  /** P12: product predicates — price range + type + brand
+    * (class-products-api.php:103-151). */
+  private val p12ProductFilters = Q(
+    (s, dir) => rd(s, dir, "part")
+      .filter(col("p_retailprice").between(920.0, 980.0) &&
+        col("p_type").isin("ECONOMY", "SMALL") && col("p_size") >= 10)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        cents(col("p_retailprice")).as("price_cents"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_brand, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+      FROM part WHERE p_retailprice BETWEEN 920.0 AND 980.0
+      AND p_type IN ('ECONOMY','SMALL') AND p_size >= 10 ORDER BY p_partkey"""))
+
+  /** P13: bot detection/classification — when-chain dimension mapping
+    * (analytics_provider.py:16-41). */
+  private val p13BotClassify = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .withColumn("bot_family",
+        when(col("source").isin("src0", "src5", "src10", "src15"), "search_crawler")
+          .when(col("lang") === "en", "ai_assistant")
+          .when(col("lang").isin("fr", "de"), "ai_training")
+          .otherwise("unknown"))
+      .groupBy("bot_family").agg(count(lit(1)).as("n"))
+      .orderBy("bot_family"),
+    Some("""SELECT CASE WHEN source IN ('src0','src5','src10','src15') THEN 'search_crawler'
+      WHEN lang = 'en' THEN 'ai_assistant' WHEN lang IN ('fr','de') THEN 'ai_training'
+      ELSE 'unknown' END AS bot_family, count(*) AS n FROM documents
+      GROUP BY 1 ORDER BY bot_family"""))
+
+  /** P14: URL-context classification + title-cased topic (gateway.js:28-72). */
+  private val p14UrlContext = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .withColumn("context",
+        when(col("source") === "src0", "home")
+          .when(col("source").startsWith("src1"), "product")
+          .when(col("source").isin("src2", "src3"), "category")
+          .otherwise("page"))
+      .withColumn("topic",
+        concat(upper(substring(col("source"), 1, 1)), expr("substr(source, 2)")))
+      .select("doc_id", "context", "topic")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CASE WHEN source = 'src0' THEN 'home'
+      WHEN source LIKE 'src1%' THEN 'product' WHEN source IN ('src2','src3') THEN 'category'
+      ELSE 'page' END AS context,
+      upper(substr(source,1,1)) || substr(source,2) AS topic
+      FROM documents ORDER BY doc_id"""))
+
+  /** W2: stable in-group ordering — row_number per conversation analog
+    * (indexer.py:117,246-247). */
+  private val w2StableOrder = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      rd(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, rn"""))
+
+  /** W4: tombstone FIFO cap — newest 1000 by deleted_at
+    * (sync_utils.py:76-79). */
+  private val w4TombstoneFifo = Q(
+    (s, dir) => {
+      val w = Window.orderBy(col("ts").desc, col("event_id").asc)
+      rd(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1000)
+        .select("event_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id FROM (
+      SELECT event_id, row_number() OVER (ORDER BY ts DESC, event_id ASC) AS rn
+      FROM events WHERE event_type = 'error') t WHERE rn <= 1000 ORDER BY event_id"""))
+
+  // ======================================================================
+  // §2.6 aggregations  +  §2.10 sync semantics
+  // ======================================================================
+
+  /** A1: count-then-page totals — ceil(total/limit)
+    * (class-products-api.php:153-166). */
+  private val a1PaginationTotals = Q(
+    (s, dir) => rd(s, dir, "part")
+      .groupBy("p_brand").agg(count(lit(1)).as("total"))
+      .withColumn("total_pages", greatest(ceil(col("total") / 20.0).cast("long"), lit(1L)))
+      .orderBy("p_brand"),
+    Some("""SELECT p_brand, count(*) AS total,
+      greatest(CAST(ceil(count(*) / 20.0) AS BIGINT), 1) AS total_pages
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** A3: Last-Modified = max(published) (content.js:30-35). */
+  private val a3LastModified = Q(
+    (s, dir) => rd(s, dir, "events")
+      .agg(date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("last_modified"),
+        count(lit(1)).as("total")),
+    Some("""SELECT strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS last_modified,
+      count(*) AS total FROM events"""))
+
+  /** A4: chunk_count per page analog (indexer.py:141). */
+  private val a4ChunkCount = Q(
+    (s, dir) => rd(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+      .limit(1000),
+    Some("""SELECT l_orderkey, count(*) AS n_items FROM lineitem
+      GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 1000"""))
+
+  /** A6: rate-limit sliding-window count, batch analog
+    * (rate_limiter.py:55-104). */
+  private val a6RateWindow = Q(
+    (s, dir) => rd(s, dir, "events")
+      .groupBy(col("user_id"), date_format(date_trunc("minute", col("ts")),
+        "yyyy-MM-dd'T'HH:mm").as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .orderBy("user_id", "minute"),
+    Some("""SELECT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M') AS minute,
+      count(*) AS n FROM events GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY user_id, minute"""))
+
+  /** T2: differential sync window — inclusive [since, until]
+    * (indexer.py:339-377). */
+  private val t2SyncWindow = Q(
+    (s, dir) => rd(s, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("event_id", "event_type")
+      .orderBy("event_id"),
+    Some("""SELECT event_id, event_type FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      ORDER BY event_id"""))
+
+  /** J5+A2: added/updated bucket split + counts (indexer.py:371-375,
+    * main.py:419-427). */
+  private val j5SyncBuckets = Q(
+    (s, dir) => rd(s, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+      .withColumn("bucket",
+        when(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"), "added")
+          .otherwise("updated"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket"),
+    Some("""SELECT CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 'added'
+      ELSE 'updated' END AS bucket, count(*) AS n FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY 1 ORDER BY bucket"""))
+
+  /** T3: sync_token = base64(json {"t": iso}) (sync_utils.py:25-38). */
+  private val t3SyncToken = Q(
+    (s, dir) => rd(s, dir, "events")
+      .agg(max(col("ts")).as("mx"))
+      .select(base64(concat(lit("{\"t\": \""),
+        date_format(col("mx"), "yyyy-MM-dd'T'HH:mm:ss"),
+        lit("+00:00\"}")).cast("binary")).as("sync_token")),
+    Some("""SELECT to_base64(encode('{"t": "' || strftime(max(ts), '%Y-%m-%dT%H:%M:%S')
+      || '+00:00"}')) AS sync_token FROM events"""))
+
+  // ======================================================================
+  // §2.7 joins & set ops
+  // ======================================================================
+
+  /** J1: broadcast hash join — big fact × small dim (main.py:536-537). */
+  private val j1BroadcastJoin = Q(
+    (s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val part = rd(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_cents"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+      AS BIGINT) AS revenue_cents, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** J3: delete = anti-join (indexer.py:157-174): customers with no
+    * high-value order (filter pushed below the anti-join). */
+  private val j3AntiJoin = Q(
+    (s, dir) => {
+      val c = rd(s, dir, "customer")
+      val o = rd(s, dir, "orders").filter(col("o_totalprice") > 350000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+      ORDER BY c_custkey"""))
+
+  /** J6: union + dedup (crawler.py:151-162). */
+  private val j6UnionDedup = Q(
+    (s, dir) => rd(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(rd(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct().orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier ORDER BY nationkey"""))
+
+  /** Flagship relational agg (TPC-H Q1 shape) for bench headline. */
+  private val q1Agg = Q(
+    (s, dir) => rd(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // ======================================================================
+  // training-data pipeline operators (documents / embeddings)
+  // ======================================================================
+
+  private val xTokenCount = Q(
+    (s, dir) => rd(s, dir, "documents").select(col("doc_id"),
+      TextOps.wordCount(col("text")).cast("long").as("n_words"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val xQuality = Q(
+    (s, dir) => TextOps.qualityFeatures(rd(s, dir, "documents")),
+    Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS INT) AS n_punct,
+      CAST((length(text) - length(replace(text,' the ','')))//5
+        + (length(text) - length(replace(text,' a ','')))//3
+        + (length(text) - length(replace(text,' and ','')))//5
+        + (length(text) - length(replace(text,' of ','')))//4
+        + (length(text) - length(replace(text,' to ','')))//4 AS INT) AS stop_hits,
+      length(text)*100 // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS mean_word_len_x100,
+      (len(regexp_split_to_array(trim(text), '\s+')) >= 5 AND
+       length(text)*100 // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) BETWEEN 200 AND 1200)
+        AS is_quality
+      FROM documents ORDER BY doc_id"""))
+
+  private val xLangId = Q(
+    (s, dir) => TextOps.langId(rd(s, dir, "documents")),
+    None) // CASE-chain oracle is expressible but verbose; covered by ScalaTest
+
+  private val xExactDedup = Q(
+    (s, dir) => TextOps.exactDedup(rd(s, dir, "documents")),
+    Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash,
+      min(doc_id) AS canonical_id, count(*) AS dup_count FROM documents
+      GROUP BY 1 ORDER BY text_hash"""))
+
+  private val xFingerprint = Q(
+    (s, dir) => TextOps.fingerprint(rd(s, dir, "documents")),
+    Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  private val xNgramJaccard = Q(
+    (s, dir) => TextOps.ngramJaccardPairs(rd(s, dir, "documents"), n = 3,
+      thresholdX1000 = 200),
+    None) // verified by DuckDB-equivalent in ScalaTest oracle; join too wide for a one-liner
+
+  private val xSimHash = Q(
+    (s, dir) => TextOps.simHash(rd(s, dir, "documents")),
+    None) // xxhash64 not available in DuckDB; property-tested instead
+
+  private val xMinHashPairs = Q(
+    (s, dir) => Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16,
+      bands = 4, minEstJaccardX1000 = 250),
+    None)
+
+  private val xEmbeddingTopK = Q(
+    (s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      VectorOps.cosineTopK(emb, q, k = 20, excludeId = Some(0L))
+    },
+    Some("""SELECT e.vec_id, e.label,
+      round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id ASC LIMIT 20"""))
+
+  private val xEmbeddingLsh = Q(
+    (s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      VectorOps.lshTopK(emb, dim = 64, q, k = 20, nPlanes = 12, excludeId = Some(0L))
+    },
+    None) // recall vs brute force asserted in ScalaTest
+
+  private val xEmbeddingNearDup = Q(
+    (s, dir) => Dedup.embeddingNearDups(rd(s, dir, "embeddings"), dim = 64,
+      thresholdX10000 = 3500, nPlanes = 6),
+    None)
+
+  private val xMultimodal = Q(
+    (s, dir) => Multimodal.decode(Multimodal.synthesize(rd(s, dir, "documents")))
+      .toDF()
+      .select("doc_id", "kind", "n_bytes", "width", "height", "sample_rate", "n_frames")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      CAST(100 + doc_id % 400 AS INT) AS n_bytes,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 16*(1 + doc_id % 40) ELSE 0 END AS INT) AS width,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 9*(1 + doc_id % 40) ELSE 0 END AS INT) AS height,
+      CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+      CAST(CASE WHEN doc_id % 3 = 2 THEN 24*(1 + doc_id % 10) ELSE 0 END AS INT) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  // ======================================================================
+  // extraction queries (not SQL-expressible → rows-only driver check;
+  // the real gate is the golden-fixture ScalaTest suite)
+  // ======================================================================
+
+  private val eExtractTurns = Q(
+    (s, dir) => ExtractJob.withTurnPos(
+        ExtractJob.extract(Transcripts.generate(s, nConvs = 300)))
+      .toDF()
+      .select("conv_id", "turn_idx", "turn_pos", "title", "language", "summary",
+        "n_chunks", "bytes_in", "bytes_out")
+      .orderBy("conv_id", "turn_idx"),
+    None)
+
+  private val eExtractChunks = Q(
+    (s, dir) => ExtractJob.extract(Transcripts.generate(s, nConvs = 300))
+      .toDF()
+      .select(col("conv_id"), col("turn_idx"), explode(col("chunks")).as("c"))
+      .select(col("conv_id"), col("turn_idx"), col("c.id").as("chunk_id"),
+        col("c.chunk_index"), col("c.chunk_type"), col("c.text"))
+      .orderBy("conv_id", "turn_idx", "chunk_index"),
+    None)
+
+  private val eAdapterChunks = Q(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Transcripts.generate(s, nConvs = 200)
+        .flatMap { t =>
+          graft.extract.AdapterChunker.chunkContent(t.text, s"${t.conv_id}#${t.turn_idx}")
+            .map(c => (t.conv_id, t.turn_idx, c.id, c.chunkType,
+              graft.extract.AdapterChunker.countWords(c.text)))
+        }
+        .toDF("conv_id", "turn_idx", "chunk_id", "chunk_type", "n_words")
+        .orderBy("conv_id", "turn_idx", "chunk_id")
+    },
+    None)
+
+  /** Full registry, insertion-ordered. */
+  val registry: Vector[(String, Q)] = Vector(
+    "q1_agg" -> q1Agg,
+    "p1_index_projection" -> p1IndexProjection,
+    "p3_pagination" -> p3Pagination,
+    "p9_search_substring" -> p9Search,
+    "p10_topk_min_score" -> p10TopK,
+    "p7_excluded_prefix" -> p7ExcludedPrefix,
+    "p8_visibility" -> p8Visibility,
+    "p12_product_filters" -> p12ProductFilters,
+    "p13_bot_classify" -> p13BotClassify,
+    "p14_url_context" -> p14UrlContext,
+    "w2_stable_order" -> w2StableOrder,
+    "w4_tombstone_fifo" -> w4TombstoneFifo,
+    "a1_pagination_totals" -> a1PaginationTotals,
+    "a3_last_modified" -> a3LastModified,
+    "a4_chunk_count" -> a4ChunkCount,
+    "a6_rate_window" -> a6RateWindow,
+    "t2_sync_window" -> t2SyncWindow,
+    "j5_sync_buckets" -> j5SyncBuckets,
+    "t3_sync_token" -> t3SyncToken,
+    "j1_broadcast_join" -> j1BroadcastJoin,
+    "j3_anti_join" -> j3AntiJoin,
+    "j6_union_dedup" -> j6UnionDedup,
+    "x_token_count" -> xTokenCount,
+    "x_quality" -> xQuality,
+    "x_langid" -> xLangId,
+    "x_exact_dedup" -> xExactDedup,
+    "x_fingerprint" -> xFingerprint,
+    "x_ngram_jaccard" -> xNgramJaccard,
+    "x_simhash" -> xSimHash,
+    "x_minhash_pairs" -> xMinHashPairs,
+    "x_embedding_topk" -> xEmbeddingTopK,
+    "x_embedding_lsh" -> xEmbeddingLsh,
+    "x_embedding_neardup" -> xEmbeddingNearDup,
+    "x_multimodal_decode" -> xMultimodal,
+    "e_extract_turns" -> eExtractTurns,
+    "e_extract_chunks" -> eExtractChunks,
+    "e_adapter_chunks" -> eAdapterChunks,
+  )
+}

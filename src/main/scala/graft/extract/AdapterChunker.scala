@@ -66,10 +66,22 @@ object AdapterChunker {
     }
   }
 
+  private val md5Local = ThreadLocal.withInitial(
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexDigits((d(i) >> 4) & 0xF)
+      out(i * 2 + 1) = hexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 
   /** C2+C3+C5: paragraph split, greedy 500-word packing, md5-prefixed ids —

@@ -74,17 +74,15 @@ object ChunkHtml {
 
   /** Legacy metadata (language/author/published) — `_extract_meta`,
     * chunker.py:583-611. Language: `<html lang>` primary(-region), default "en". */
-  private[extract] def legacyMeta(doc: HElem): (String, JVal, JVal) = {
-    val language = doc.find("html").flatMap(_.attr("lang")).filter(_.nonEmpty) match {
+  private[extract] def legacyMeta(idx: MetaExtract.MetaIndex): (String, JVal, JVal) = {
+    val language = Option(idx.htmlLang).filter(_.nonEmpty) match {
       case Some(lang) =>
         val parts = lang.split("-", -1)
         if (parts.length >= 2) parts(0) + "-" + parts(1) else parts(0)
       case None => "en"
     }
-    val author = doc.descendantElems
-      .find(e => e.name == "meta" && e.attr("name").contains("author"))
-      .flatMap(_.attr("content")).filter(_.nonEmpty).map(JStr.apply).getOrElse(JNull)
-    val published = MetaExtract.publishedFrom(doc)
+    val author = idx.name("author")
+    val published = MetaExtract.publishedFrom(idx)
     (language, author, published)
   }
 
@@ -97,15 +95,16 @@ object ChunkHtml {
     // E1: parse once; the reference parses twice (extract_metadata + chunk_html)
     // on the same input — one DOM serves both since metadata runs pre-strip.
     val doc = HtmlDom.parse(html)
+    val idx = new MetaExtract.MetaIndex(doc) // one pre-strip scan serves all lookups
 
-    val richMeta = MetaExtract.extractMetadata(html, doc)
-    val (language, legacyAuthor, legacyPublished) = legacyMeta(doc)
+    val richMeta = MetaExtract.extractMetadata(html, idx)
+    val (language, legacyAuthor, legacyPublished) = legacyMeta(idx)
 
     // E10: title resolution — chunker.py:637-644 (h1 overrides <title>)
     var title = if (richMeta.title.truthy) richMeta.title.pyStr else ""
     if (title.isEmpty) {
-      doc.find("title").foreach(t => title = TextUtil.cleanText(t.getText))
-      doc.find("h1").foreach(h => title = TextUtil.cleanText(h.getText))
+      if (idx.titleEl != null) title = TextUtil.cleanText(idx.titleEl.getText)
+      if (idx.h1El != null) title = TextUtil.cleanText(idx.h1El.getText)
     }
 
     val author = if (richMeta.author.truthy) Some(richMeta.author.pyStr)
@@ -123,21 +122,36 @@ object ChunkHtml {
       .orElse(doc.find("body"))
       .getOrElse(doc)
 
-    // E6: descendant walk → typed chunks with in-page dedup — chunker.py:662-700
+    // E6: descendant walk → typed chunks with in-page dedup — chunker.py:662-700.
+    // get_text() of every element is a contiguous span of the root's full
+    // text concatenation, so one post-order pass filling (start, end) span
+    // fields replaces the naive O(n²) subtree re-walks.
+    val fullText = new java.lang.StringBuilder
+    def index(e: HElem): Unit = {
+      e.spanStart = fullText.length
+      if (e.hasChildren) e.children.foreach {
+        case t: HText => fullText.append(t.data)
+        case c: HElem => index(c)
+      }
+      e.spanEnd = fullText.length
+    }
+    index(contentRoot)
+    def subtreeText(e: HElem): String = fullText.substring(e.spanStart, e.spanEnd)
+
     val chunks = mutable.ArrayBuffer.empty[Chunk]
     val seenTexts = mutable.HashSet.empty[String]
     var blocksKept = 0
     var blocksDropped = 0
-    contentRoot.descendants.foreach {
+    def walk(parent: HElem): Unit = if (parent.hasChildren) parent.children.foreach {
       case el: HElem =>
         val before = chunks.length
-        var text = TextUtil.cleanText(el.getText)
+        var text = TextUtil.cleanText(subtreeText(el))
         if (text.nonEmpty && TextUtil.cpLength(text) >= 20 && !seenTexts.contains(text)) {
           val chunkType = el.name match {
             case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
             case "ul" | "ol" => "list"
             case "pre" | "code" =>
-              text = TextUtil.stripPy(el.getText) // E6: code keeps original whitespace
+              text = TextUtil.stripPy(subtreeText(el)) // E6: code keeps original whitespace
               "code"
             case "blockquote" => "quote"
             case "p" => "paragraph"
@@ -149,8 +163,10 @@ object ChunkHtml {
           }
         }
         if (chunks.length > before) blocksKept += 1 else blocksDropped += 1
+        walk(el)
       case _: HText => ()
     }
+    walk(contentRoot)
 
     // E8: recipe ingredient/instruction chunk injection — chunker.py:702-717
     if (richMeta.metaType == JStr("recipe")) {

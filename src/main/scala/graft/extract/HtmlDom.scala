@@ -25,6 +25,11 @@ import scala.collection.mutable
   */
 object HtmlDom {
 
+  /** control-flow exception for early-exit traversal (no stack trace). */
+  private object FoundBreak extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
   sealed trait HNode {
     var parent: HElem = _
   }
@@ -32,9 +37,27 @@ object HtmlDom {
   final class HText(val data: String) extends HNode
 
   final class HElem(val name: String, var attrs: Map[String, String]) extends HNode {
-    val children: mutable.ArrayBuffer[HNode] = mutable.ArrayBuffer.empty
+    /** lazily allocated: most elements are leaves (hot-path allocation win) */
+    private var _children: mutable.ArrayBuffer[HNode] = _
+    /** subtree text span offsets, filled by ChunkHtml's single index pass */
+    private[extract] var spanStart: Int = -1
+    private[extract] var spanEnd: Int = -1
+
+    def children: mutable.ArrayBuffer[HNode] = {
+      if (_children == null) _children = new mutable.ArrayBuffer[HNode](4)
+      _children
+    }
+    def hasChildren: Boolean = _children != null && _children.nonEmpty
 
     def append(n: HNode): Unit = { n.parent = this; children += n }
+
+    /** recursion-based traversal (no iterator allocation). */
+    def foreachElem(f: HElem => Unit): Unit = {
+      if (_children != null) _children.foreach {
+        case e: HElem => f(e); e.foreachElem(f)
+        case _ => ()
+      }
+    }
 
     /** class attribute tokenized on ASCII whitespace (lxml multi-valued attr). */
     def classList: Seq[String] =
@@ -44,10 +67,12 @@ object HtmlDom {
     def attr(k: String): Option[String] = attrs.get(k)
 
     /** All descendant nodes (elements and text), document order, excluding self. */
-    def descendants: Iterator[HNode] = children.iterator.flatMap {
-      case e: HElem => Iterator.single(e) ++ e.descendants
-      case t: HText => Iterator.single(t)
-    }
+    def descendants: Iterator[HNode] =
+      if (_children == null) Iterator.empty
+      else _children.iterator.flatMap {
+        case e: HElem => Iterator.single(e) ++ e.descendants
+        case t: HText => Iterator.single(t)
+      }
 
     def descendantElems: Iterator[HElem] =
       descendants.collect { case e: HElem => e }
@@ -55,7 +80,7 @@ object HtmlDom {
     /** BeautifulSoup `get_text()`: all text node data concatenated. */
     def getText: String = {
       val sb = new java.lang.StringBuilder
-      def walk(e: HElem): Unit = e.children.foreach {
+      def walk(e: HElem): Unit = if (e._children != null) e._children.foreach {
         case t: HText => sb.append(t.data)
         case c: HElem => walk(c)
       }
@@ -64,11 +89,24 @@ object HtmlDom {
     }
 
     /** First descendant element with this (lowercase) tag name. */
-    def find(tag: String): Option[HElem] = descendantElems.find(_.name == tag)
+    def find(tag: String): Option[HElem] = {
+      var found: HElem = null
+      try foreachElem { e => if (found == null && e.name == tag) { found = e; throw FoundBreak } }
+      catch { case FoundBreak => () }
+      Option(found)
+    }
 
-    def findAll(tag: String): Seq[HElem] = descendantElems.filter(_.name == tag).toSeq
+    def findAll(tag: String): Seq[HElem] = {
+      val out = mutable.ArrayBuffer.empty[HElem]
+      foreachElem(e => if (e.name == tag) out += e)
+      out.toSeq
+    }
 
-    def findAll(pred: HElem => Boolean): Seq[HElem] = descendantElems.filter(pred).toSeq
+    def findAll(pred: HElem => Boolean): Seq[HElem] = {
+      val out = mutable.ArrayBuffer.empty[HElem]
+      foreachElem(e => if (pred(e)) out += e)
+      out.toSeq
+    }
 
     /** BeautifulSoup `decompose()`: detach this subtree from its parent. */
     def decompose(): Unit = {

@@ -49,7 +49,13 @@ final case class JObj(m: VectorMap[String, JVal]) extends JVal {
 }
 
 object JsonLite {
-  private val mapper = new ObjectMapper()
+  // field-name canonicalization uses a JVM-wide synchronized symbol table —
+  // a measurable contention point with 32 threads parsing small JSON-LD
+  // blocks; interning buys nothing here since field names are read once
+  private val factory = new com.fasterxml.jackson.core.JsonFactory()
+  factory.disable(com.fasterxml.jackson.core.JsonFactory.Feature.INTERN_FIELD_NAMES)
+  factory.disable(com.fasterxml.jackson.core.JsonFactory.Feature.CANONICALIZE_FIELD_NAMES)
+  private val mapper = new ObjectMapper(factory)
 
   /** Parse strictly; returns None on malformed JSON (reference skips invalid
     * JSON-LD blocks — `/root/reference/sidecar/chunker.py:378-381`). */

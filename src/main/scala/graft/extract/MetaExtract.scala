@@ -240,50 +240,88 @@ object MetaExtract {
     "WebPage" -> mapDefault)
 
   // -------------------------------------------------------------------
+  // One-pass DOM index: the reference re-scans the soup for every meta
+  // lookup (`soup.find("meta", ...)` ×15 per page); at 10^12 turns those
+  // scans dominate, so we collect all first-occurrence meta/title/h1/time
+  // elements in a single traversal with identical first-match semantics.
+  // -------------------------------------------------------------------
+  final class MetaIndex(val doc: HElem) {
+    import scala.collection.mutable
+    /** first meta element's content attr per property/name value
+      * (None = attribute missing on that FIRST element — later metas with
+      * the same property are never consulted, matching bs4 `find`). */
+    val byProperty = mutable.HashMap.empty[String, Option[String]]
+    val byName = mutable.HashMap.empty[String, Option[String]]
+    val articleTags = Vector.newBuilder[String]
+    var titleEl: HElem = _
+    var h1El: HElem = _
+    var timeDatetime: String = _
+    var htmlLang: String = _
+
+    private def scan(e: HElem): Unit = {
+      e.name match {
+        case "meta" =>
+          val content = e.attr("content")
+          e.attr("property").foreach { p =>
+            if (!byProperty.contains(p)) byProperty(p) = content
+            if (p == "article:tag") content.filter(_.nonEmpty).foreach(articleTags += _)
+          }
+          e.attr("name").foreach { n => if (!byName.contains(n)) byName(n) = content }
+        case "title" => if (titleEl == null) titleEl = e
+        case "h1" => if (h1El == null) h1El = e
+        case "time" =>
+          if (timeDatetime == null) e.attr("datetime").foreach(timeDatetime = _)
+        case "html" => if (htmlLang == null) htmlLang = e.attr("lang").getOrElse("")
+        case _ => ()
+      }
+      if (e.hasChildren) e.children.foreach { case c: HElem => scan(c); case _ => () }
+    }
+    scan(doc)
+
+    def property(v: String): JVal =
+      byProperty.get(v).flatten.filter(_.nonEmpty).map(JStr.apply).getOrElse(JNull)
+    def name(v: String): JVal =
+      byName.get(v).flatten.filter(_.nonEmpty).map(JStr.apply).getOrElse(JNull)
+  }
+
+  // -------------------------------------------------------------------
   // M13: OpenGraph / Twitter — `_extract_opengraph`, chunker.py:414-468
   // -------------------------------------------------------------------
 
-  private def findMetaBy(doc: HElem, attrName: String, value: String): Option[HElem] =
-    doc.descendantElems.find(e => e.name == "meta" && e.attr(attrName).contains(value))
-
-  private def metaContent(doc: HElem, attrName: String, value: String): JVal =
-    findMetaBy(doc, attrName, value)
-      .flatMap(_.attr("content")).filter(_.nonEmpty).map(JStr.apply).getOrElse(JNull)
-
   /** Returns None when no og title/description/image (reference returns {}). */
-  def extractOpenGraph(doc: HElem): Option[Meta] = {
-    def og(p: String): JVal = metaContent(doc, "property", s"og:$p")
-    def tw(n: String): JVal = metaContent(doc, "name", s"twitter:$n")
+  def extractOpenGraph(idx: MetaIndex): Option[Meta] = {
+    def og(p: String): JVal = idx.property(s"og:$p")
+    def tw(n: String): JVal = idx.name(s"twitter:$n")
     def or(a: JVal, b: => JVal): JVal = if (a.truthy) a else b
 
     val title = or(og("title"), tw("title"))
     val description = or(og("description"), tw("description"))
     val image = or(og("image"), tw("image"))
     val ogType = og("type")
-    val author = metaContent(doc, "property", "article:author")
-    val published = metaContent(doc, "property", "article:published_time")
-    val modified = metaContent(doc, "property", "article:modified_time")
-    val keywords = doc.descendantElems
-      .filter(e => e.name == "meta" && e.attr("property").contains("article:tag"))
-      .flatMap(_.attr("content")).filter(_.nonEmpty).toVector
+    val author = idx.property("article:author")
+    val published = idx.property("article:published_time")
+    val modified = idx.property("article:modified_time")
+    val keywords = idx.articleTags.result()
 
     if (!title.truthy && !description.truthy && !image.truthy) None
     else Some(Meta(title, description, author, published, modified, keywords,
       image, if (ogType.truthy) ogType else JStr("page"), JNull, Vector.empty))
   }
 
+  def extractOpenGraph(doc: HElem): Option[Meta] = extractOpenGraph(new MetaIndex(doc))
+
   // -------------------------------------------------------------------
   // M14: HTML fallback — `_extract_html_meta`, chunker.py:475-524
   // -------------------------------------------------------------------
-  def extractHtmlMeta(doc: HElem): Meta = {
+  def extractHtmlMeta(idx: MetaIndex): Meta = {
     var title: JVal = JNull
-    doc.find("title").foreach(t => title = JStr(TextUtil.cleanText(t.getText)))
-    doc.find("h1").foreach(h => title = JStr(TextUtil.cleanText(h.getText)))
+    if (idx.titleEl != null) title = JStr(TextUtil.cleanText(idx.titleEl.getText))
+    if (idx.h1El != null) title = JStr(TextUtil.cleanText(idx.h1El.getText))
 
-    val description = metaContent(doc, "name", "description")
-    val author = metaContent(doc, "name", "author")
-    val published = publishedFrom(doc)
-    val keywords = metaContent(doc, "name", "keywords") match {
+    val description = idx.name("description")
+    val author = idx.name("author")
+    val published = publishedFrom(idx)
+    val keywords = idx.name("keywords") match {
       case JStr(s) => s.split(",", -1).toVector.map(TextUtil.stripPy).filter(_.nonEmpty)
       case _ => Vector.empty
     }
@@ -291,34 +329,39 @@ object MetaExtract {
       JStr("page"), JNull, Vector.empty)
   }
 
+  def extractHtmlMeta(doc: HElem): Meta = extractHtmlMeta(new MetaIndex(doc))
+
   /** published-date resolution shared by `_extract_html_meta` (:509-517) and
     * `_extract_meta` (:599-609): meta property|name in
-    * (article:published_time, datePublished, date), then `<time datetime>`. */
-  def publishedFrom(doc: HElem): JVal = {
+    * (article:published_time, datePublished, date), then `<time datetime>`.
+    * bs4 `find` semantics: the FIRST element with the attribute is
+    * consulted even if its content is empty. */
+  def publishedFrom(idx: MetaIndex): JVal = {
     val fromMeta = Seq("article:published_time", "datePublished", "date").iterator
       .map { attr =>
-        findMetaBy(doc, "property", attr).orElse(findMetaBy(doc, "name", attr))
-          .flatMap(_.attr("content")).filter(_.nonEmpty)
+        idx.byProperty.get(attr).orElse(idx.byName.get(attr))
+          .flatMap(identity).filter(_.nonEmpty)
       }
       .collectFirst { case Some(v) => JStr(v) }
     fromMeta.getOrElse {
-      doc.descendantElems
-        .find(e => e.name == "time" && e.attrs.contains("datetime"))
-        .map(t => JStr(t.attrs("datetime"))).getOrElse(JNull)
+      if (idx.timeDatetime != null) JStr(idx.timeDatetime) else JNull
     }
   }
 
   // -------------------------------------------------------------------
   // Unified precedence merge — `extract_metadata`, chunker.py:531-576
   // -------------------------------------------------------------------
-  def extractMetadata(html: String, doc: HElem): Meta = {
+  def extractMetadata(html: String, doc: HElem): Meta =
+    extractMetadata(html, new MetaIndex(doc))
+
+  def extractMetadata(html: String, idx: MetaIndex): Meta = {
     extractJsonLd(html) match {
       case Some(ld) =>
         val meta = typesOf(ld).collectFirst {
           case t if typeMap.contains(t) => typeMap(t)(ld)
         }.getOrElse(mapDefault(ld))
         // fill blanks from OpenGraph — chunker.py:558-562
-        extractOpenGraph(doc) match {
+        extractOpenGraph(idx) match {
           case Some(og) =>
             var m = meta
             if (!m.title.truthy && og.title.truthy) m = m.copy(title = og.title)
@@ -330,16 +373,16 @@ object MetaExtract {
           case None => meta
         }
       case None =>
-        extractOpenGraph(doc) match {
+        extractOpenGraph(idx) match {
           case Some(og) =>
-            val hm = extractHtmlMeta(doc)
+            val hm = extractHtmlMeta(idx)
             var m = og
             if (!m.title.truthy && hm.title.truthy) m = m.copy(title = hm.title)
             if (!m.description.truthy && hm.description.truthy) m = m.copy(description = hm.description)
             if (!m.author.truthy && hm.author.truthy) m = m.copy(author = hm.author)
             if (!m.published.truthy && hm.published.truthy) m = m.copy(published = hm.published)
             m
-          case None => extractHtmlMeta(doc)
+          case None => extractHtmlMeta(idx)
         }
     }
   }

@@ -11,27 +11,48 @@ import java.util.regex.Pattern
   */
 object TextUtil {
 
-  /** Python `\s` on str also matches the information-separator controls
-    * \x1c-\x1f (and \x85), which Java's `(?U)\s` (Unicode White_Space)
-    * does not. Union them explicitly. */
-  private val wsRun: Pattern =
-    Pattern.compile("[\\s\\x1c-\\x1f\\x85]+", Pattern.UNICODE_CHARACTER_CLASS)
+  /** Python-`\s` (str) whitespace: Unicode White_Space ∪ \x1c-\x1f.
+    * (Character.isWhitespace covers \x1c-\x1f; isSpaceChar adds the
+    * no-break spaces; 0x85 NEL is in neither.) */
+  @inline def isPyWs(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || c.toInt == 0x85
 
   /** `_clean_text`: collapse whitespace runs to one space, strip ends.
-    * `/root/reference/sidecar/chunker.py:81-83`. */
+    * `/root/reference/sidecar/chunker.py:81-83`. Single-pass, allocation
+    * only for the result (hot path: called once per DOM element). */
   def cleanText(text: String): String = {
-    val collapsed = wsRun.matcher(text).replaceAll(" ")
-    stripPy(collapsed)
+    val n = text.length
+    // fast path: already clean (no ws runs, no non-space ws, no edge ws)
+    var i = 0
+    var clean = n > 0 && !isPyWs(text.charAt(0)) && !isPyWs(text.charAt(n - 1))
+    while (clean && i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') { if (i + 1 < n && isPyWs(text.charAt(i + 1))) clean = false }
+      else if (isPyWs(c)) clean = false
+      i += 1
+    }
+    if (clean || n == 0) return text
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isPyWs(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** Python `str.strip()` (strips Unicode whitespace incl. \x1c-\x1f). */
   def stripPy(s: String): String = {
     var a = 0
     var b = s.length
-    def isWs(c: Char): Boolean =
-      Character.isWhitespace(c) || Character.isSpaceChar(c) || (c >= 28 && c <= 31) || c.toInt == 0x85
-    while (a < b && isWs(s.charAt(a))) a += 1
-    while (b > a && isWs(s.charAt(b - 1))) b -= 1
+    while (a < b && isPyWs(s.charAt(a))) a += 1
+    while (b > a && isPyWs(s.charAt(b - 1))) b -= 1
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 

@@ -40,10 +40,22 @@ object ExtractJob {
   private val isoFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")
     .withZone(ZoneOffset.UTC)
 
+  private val sha256Local = ThreadLocal.withInitial(
+    () => java.security.MessageDigest.getInstance("SHA-256"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
+    val md = sha256Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexDigits((d(i) >> 4) & 0xF)
+      out(i * 2 + 1) = hexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 
   private def utf8Len(s: String): Long = {

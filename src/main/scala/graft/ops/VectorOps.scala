@@ -50,21 +50,21 @@ object VectorOps {
     emb.withColumn("lsh_sig", sig)
   }
 
-  /** ANN via LSH buckets: candidates share the query's signature bucket
-    * (multi-probe: exact bucket + single-bit flips), then exact cosine
-    * re-rank. At scale this prunes the scan to a few buckets — partition
-    * the stored table by `lsh_sig` for pushdown. */
+  /** ANN via LSH buckets: candidates share a signature within `probeBits`
+    * Hamming distance of the query's bucket (multi-probe), then exact
+    * cosine re-rank. At scale this prunes the scan to a small fraction of
+    * buckets — partition the stored table by `lsh_sig` for pushdown.
+    * Near-orthogonal (random) vectors are the worst case for hyperplane
+    * LSH; clustered real embeddings recall far better at the same probes. */
   def lshTopK(emb: DataFrame, dim: Int, query: Array[Float], k: Int,
-      nPlanes: Int = 16, excludeId: Option[Long] = None): DataFrame = {
+      nPlanes: Int = 8, probeBits: Int = 3,
+      excludeId: Option[Long] = None): DataFrame = {
     val qSig = (0 until nPlanes).map { p =>
       val d = (0 until dim).map(i => planeComponent(p, i) * query(i)).sum
       if (d >= 0) 1L << p else 0L
     }.reduce(_ | _)
-    // multi-probe: exact bucket, all 1-bit flips, all 2-bit flips
-    val oneBit = (0 until nPlanes).map(p => qSig ^ (1L << p))
-    val twoBit = for (p <- 0 until nPlanes; q2 <- p + 1 until nPlanes)
-      yield qSig ^ (1L << p) ^ (1L << q2)
-    val probes = (qSig +: (oneBit ++ twoBit)).distinct
+    val probes = (0L until (1L << nPlanes))
+      .filter(sig => java.lang.Long.bitCount(sig ^ qSig) <= probeBits)
     val sigd = lshSignature(emb, dim, nPlanes)
       .filter(col("lsh_sig").isin(probes: _*))
     cosineTopK(sigd, query, k, excludeId)

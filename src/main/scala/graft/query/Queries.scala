@@ -397,7 +397,8 @@ object Queries {
       val emb = rd(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .collect().head.getSeq[Float](0).toArray
-      VectorOps.lshTopK(emb, dim = 64, q, k = 20, nPlanes = 12, excludeId = Some(0L))
+      VectorOps.lshTopK(emb, dim = 64, q, k = 20, nPlanes = 8, probeBits = 3,
+        excludeId = Some(0L))
     },
     None) // recall vs brute force asserted in ScalaTest
 

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def docsOf(texts: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    texts.toSeq.toDF("doc_id", "text")
+  }
+
+  test("occurrences counts literal substrings exactly") {
+    val s = spark; import s.implicits._
+    val df = Seq(("xmergeymergez", 1L)).toDF("text", "id")
+    val n = df.select(TextOps.occurrences(col("text"), "merge")).collect().head.getInt(0)
+    assert(n == 2)
+  }
+
+  test("exact dedup: dup_count sums to table size; identical texts collapse") {
+    val d = docsOf(1L -> "alpha beta  gamma", 2L -> "alpha beta gamma", 3L -> "other words")
+    val out = TextOps.exactDedup(d).collect()
+    assert(out.map(_.getLong(2)).sum == 3) // whitespace-normalized 1 and 2 collapse
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 1L) // canonical = min doc_id
+  }
+
+  test("n-gram jaccard: identical docs => 1000; disjoint absent") {
+    val text = "one two three four five six seven eight"
+    val d = docsOf(1L -> text, 2L -> text, 3L -> "completely different words entirely here now ok")
+    val pairs = TextOps.ngramJaccardPairs(d, n = 3, thresholdX1000 = 300).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getLong(2) == 1000L)
+  }
+
+  test("minhash LSH: identical docs are candidates with est 1000") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docsOf(10L -> text, 20L -> text,
+      30L -> "unrelated content about spark shuffle partitions and codegen stages")
+    val pairs = Dedup.minHashPairs(d, n = 3, k = 16, bands = 4, minEstJaccardX1000 = 500)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
+    assert(pairs.head.getLong(2) == 1000L)
+  }
+
+  test("minhash est jaccard correlates with true jaccard on real docs") {
+    val est = Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4, minEstJaccardX1000 = 0)
+      .limit(50).collect()
+    // bucket-collision candidates on near-random docs should still have
+    // nonnegative estimates and valid ranges
+    est.foreach { r => assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000) }
+  }
+
+  test("simhash: identical text => identical hash; near-identical => small hamming") {
+    val a = "spark partitions shuffle codegen tungsten catalyst optimizer rows columns"
+    val d = docsOf(1L -> a, 2L -> a, 3L -> (a + " extra"))
+    val out = TextOps.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(java.lang.Long.bitCount(out(1L) ^ out(3L)) <= 16)
+    val pairs = TextOps.simHashPairs(d, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("cosineTopK: hand-computed ordering") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = VectorOps.cosineTopK(df, Array(1.0f, 0.0f), k = 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head.getDouble(2) == 1.0)
+  }
+
+  test("lsh top-k recall vs brute force on real embeddings") {
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val exact = VectorOps.cosineTopK(emb, q, 20, excludeId = Some(7L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = VectorOps.lshTopK(emb, 64, q, 20, nPlanes = 8, probeBits = 3,
+      excludeId = Some(7L)).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(approx.size <= 20)
+    // these synthetic embeddings are near-random (max pairwise cos ~0.5) —
+    // LSH's worst case; clustered real data recalls far higher
+    assert(recall >= 0.35, s"recall $recall too low")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Dedup.embeddingNearDups(emb, dim = 64, thresholdX10000 = 3000,
+      nPlanes = 6).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 3000)
+    }
+  }
+
+  test("multimodal: deterministic synth + stub decode + frame sampling") {
+    val meta = Multimodal.decode(Multimodal.synthesize(docs)).collect()
+    assert(meta.length == docs.count())
+    meta.foreach { m =>
+      assert(m.n_bytes == 100 + (m.doc_id % 400).toInt)
+      m.kind match {
+        case "image" => assert(m.width == 16 * (1 + (m.doc_id % 40).toInt) && m.sample_rate == 0)
+        case "audio" => assert(m.sample_rate == 16000 && m.width == 0)
+        case "video" => assert(m.n_frames == 24 * (1 + (m.doc_id % 10).toInt))
+      }
+      assert(m.feature.sum == m.n_bytes.toFloat) // histogram preserves mass
+    }
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decode(Multimodal.synthesize(docs)), everyNth = 24)
+    assert(frames.count() > 0)
+    val one = frames.filter(col("doc_id") === 2).collect().map(_.getInt(1)).toSeq
+    assert(one == (0 until 24 * (1 + 2 % 10) by 24).toSeq)
+  }
+
+  test("langId picks the max-hit language deterministically") {
+    val d = docsOf(1L -> "x the y and z of w", 2L -> "a le b la c et d les e")
+      .withColumn("lang", lit("??"))
+    val out = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+  }
+
+  test("quality features integer-exact invariants") {
+    val out = TextOps.qualityFeatures(docs).collect()
+    out.foreach { r =>
+      val nChars = r.getInt(1); val nWords = r.getInt(2)
+      assert(r.getLong(6) == nChars.toLong * 100 / math.max(nWords, 1))
+    }
+  }
+}

@@ -114,6 +114,37 @@ object AdapterChunker {
     }
   }
 
+  /** C7: WordPress shortcode / block-comment strip —
+    * `/root/reference/adapters/wordpress/includes/class-chunker.php:28-81`.
+    * 14 noisy shortcode tags (with optional body up to the closing tag),
+    * any remaining `[shortcode ...]` markers, and `<!-- wp:navigation -->`
+    * style block comments. The transcript analog: tool-call wrapper markup
+    * inside turn payloads. */
+  private val stripShortcodes = Seq(
+    "gallery", "embed", "video", "audio", "playlist", "caption", "ad",
+    "adsense", "sidebar", "widget", "social", "share", "related_posts")
+  private val shortcodeRes = stripShortcodes.map { tag =>
+    val q = Pattern.quote(tag)
+    Pattern.compile("\\[" + q + "[^\\]]*\\](?:.*?\\[/" + q + "\\])?", Pattern.DOTALL)
+  }
+  /** `strip_shortcodes` residue: any leftover [tag ...] / [/tag] markers. */
+  private val anyShortcodeRe = Pattern.compile("\\[/?[a-zA-Z0-9_-]+[^\\]]*\\]")
+  private val wpBlockCommentRe = Pattern.compile(
+    "<!--\\s*wp:(navigation|widget|social-links|search|tag-cloud|categories|archives|calendar|rss|latest-comments)[\\s\\S]*?-->",
+    Pattern.DOTALL)
+
+  def stripWpNoise(content: String): String = {
+    var c = content
+    shortcodeRes.foreach(re => c = re.matcher(c).replaceAll(""))
+    c = anyShortcodeRe.matcher(c).replaceAll("")
+    c = wpBlockCommentRe.matcher(c).replaceAll("")
+    c
+  }
+
+  /** WP-variant clean: shortcode strip then the common tag strip pipeline
+    * (class-chunker.php:53-81). */
+  def cleanWp(content: String): String = cleanHtml(stripWpNoise(content))
+
   /** C6: first ~40 words + "..." — chunker.js:131-136. */
   def summarise(html: String, words: Int = 40): String = {
     val text = cleanHtml(html)

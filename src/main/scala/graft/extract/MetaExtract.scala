@@ -41,6 +41,9 @@ object MetaExtract {
 
   /** Priority pick — `_extract_jsonld`, chunker.py:366-407. */
   def extractJsonLd(html: String): Option[JObj] = {
+    // fast path: the DOTALL regex scan is the costliest part of metadata
+    // extraction; most payloads have no JSON-LD block at all
+    if (!containsIgnoreCase(html, "ld+json")) return None
     val m = jsonLdRe.matcher(html)
     val candidates = Vector.newBuilder[JObj]
     while (m.find()) {
@@ -65,6 +68,16 @@ object MetaExtract {
         .nextOption()
         .orElse(Some(cs.head))
     }
+  }
+
+  private def containsIgnoreCase(s: String, needle: String): Boolean = {
+    val last = s.length - needle.length
+    var i = 0
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return true
+      i += 1
+    }
+    false
   }
 
   /** `@type` as list of strings (str-or-list in source) — chunker.py:401-402. */

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.job.ExtractJob
+import graft.model.Turn
+
+/** Structured Streaming surface for the reference's incremental semantics
+  * (SURVEY.md §2.10):
+  *
+  *  - T1/S10: the periodic re-crawl / webhook batch-upsert path becomes a
+  *    file-source stream → per-micro-batch extraction → append sink
+  *    (`Trigger.AvailableNow` = one catch-up run, the re-crawl analog)
+  *  - A6/T6: sliding-window rate counting with a watermark
+  *  - T7: gateway sessions (TTL 300 s — gateway-session.js:9-33) as
+  *    `mapGroupsWithState` with a processing-time timeout
+  */
+object StreamOps {
+
+  /** Streaming extraction: every new transcript file is extracted exactly
+    * once; checkpointed offsets make the stream resumable (the streaming
+    * twin of ExtractJob's lineage-based batch resume). */
+  def extractionStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val turns = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Turn]].schema)
+      .parquet(inDir)
+      .as[Turn]
+    val extracted = ExtractJob.extract(turns)
+    extracted.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
+  /** A6/T6: events per user per sliding 60 s window (10 s slide), flagging
+    * users over `limit` — `/root/reference/sidecar/rate_limiter.py:28-104`.
+    * The watermark bounds state: late events beyond 2 min are dropped. */
+  def rateLimitWindows(events: DataFrame, limit: Long): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "60 seconds", "10 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > limit)
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  final case class SessionEvent(session_id: String, ts: java.sql.Timestamp)
+  final case class SessionSummary(session_id: String, events: Long, expired: Boolean)
+
+  /** T7: gateway session store with TTL — one state entry per session id,
+    * expired after `ttlMs` of processing-time inactivity (the reference
+    * sweeps a Map every 60 s, TTL 300 s — state timeouts are the
+    * Spark-native form). `ttlMs = 0` disables expiry (NoTimeout), which is
+    * also what deterministic tests use: pending processing-time timeouts
+    * keep a zero-interval trigger spinning empty micro-batches. */
+  def sessionSummaries(events: Dataset[SessionEvent], ttlMs: Long = 300000L)
+      : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.session_id)
+      .mapGroupsWithState[Long, SessionSummary](timeout) {
+        (sid: String, batch: Iterator[SessionEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            SessionSummary(sid, n, expired = true)
+          } else {
+            val n = state.getOption.getOrElse(0L) + batch.size
+            state.update(n)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            SessionSummary(sid, n, expired = false)
+          }
+      }
+  }
+}

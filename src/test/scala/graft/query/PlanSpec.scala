@@ -1,0 +1,94 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Physical-plan assertions: the plans the engine relies on at 100 TB must
+  * actually materialize at test scale — predicate pushdown into the parquet
+  * scan, column pruning, broadcast joins for small dims, whole-stage
+  * codegen on the relational surface, and no shuffle in the extraction
+  * stage. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan (p12 product filters)") {
+    val p = plan("p12_product_filters")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("p_retailprice") && p.contains("GreaterThanOrEqual"),
+      "price range must reach the scan:\n" + p.take(1200))
+  }
+
+  test("column pruning: scan reads only needed columns (p7)") {
+    val p = plan("p7_excluded_prefix")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("source"))
+    assert(!readSchema.contains("text"), s"text must be pruned: $readSchema")
+  }
+
+  test("small dim side broadcasts (j1)") {
+    val p = plan("j1_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("anti-join stays a real anti-join with pushed dim filter (j3)") {
+    val p = plan("j3_anti_join")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,350000.0)]")
+      || p.contains("GreaterThan(o_totalprice"), p.take(1500))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (p10)") {
+    val p = plan("p10_topk_min_score")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("whole-stage codegen spans the relational surface (q1)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // AQE finalizes the plan on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan string
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(1200))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("extraction stage is shuffle-free (map-only scan)") {
+    val turns = graft.job.Transcripts.generate(spark, 10)
+    val p = graft.job.ExtractJob.extract(turns).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "extraction must not shuffle:\n" + p.take(1200))
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"))
+  }
+
+  test("ordering window shuffles exactly once, after extraction") {
+    val turns = graft.job.Transcripts.generate(spark, 10)
+    val p = graft.job.ExtractJob.withTurnPos(graft.job.ExtractJob.extract(turns))
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n" + p.take(1500))
+    assert(p.contains("Window"))
+  }
+
+  test("exact dedup shuffles hashes, not text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ops.TextOps.exactDedup(docs).queryExecution.executedPlan.toString
+    // partial aggregation before the exchange = map-side combine
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(exIdx >= 0 && aggIdx >= 0 && aggIdx < exIdx,
+      "expected partial HashAggregate above the exchange:\n" + p.take(1500))
+  }
+}

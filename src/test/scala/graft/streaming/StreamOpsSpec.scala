@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.job.Transcripts
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("stream-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming extraction: file source -> extraction -> parquet sink, resumable") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-in").toString
+    val out = Files.createTempDirectory("stream-out").toString
+    val cp = Files.createTempDirectory("stream-cp").toString
+
+    Transcripts.generate(spark, 20).write.mode("append").parquet(in)
+    val q1 = StreamOps.extractionStream(spark, in, out, cp)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == Transcripts.expectedCount(20))
+
+    // new files arrive; AvailableNow catch-up processes ONLY the delta
+    Transcripts.generate(spark, 45)
+      .filter(expr("CAST(substr(conv_id, 6) AS INT) >= 20"))
+      .write.mode("append").parquet(in)
+    val q2 = StreamOps.extractionStream(spark, in, out, cp)
+    q2.awaitTermination()
+    val total = spark.read.parquet(out)
+    assert(total.count() == Transcripts.expectedCount(45))
+    assert(total.select("conv_id", "turn_idx").distinct().count() ==
+      Transcripts.expectedCount(45))
+    // extracted output matches the batch path per turn
+    val one = total.filter($"conv_id" === "conv-0" && $"turn_idx" === 0)
+      .select("title", "n_chunks").collect().head
+    val batch = graft.job.ExtractJob.extractOne(Transcripts.mkTurn(0, 0, "conv-"))
+    assert(one.getString(0) == batch.title && one.getInt(1) == batch.n_chunks)
+  }
+
+  test("rate-limit sliding windows with watermark over event stream") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("rl-in").toString + "/data"
+    // one user fires 12 events in one minute; another fires 2
+    val rows = (0 until 12).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 5000L))) ++
+      Seq((2L, new java.sql.Timestamp(1700000000000L)),
+        (2L, new java.sql.Timestamp(1700000030000L)))
+    rows.toDF("user_id", "ts").write.parquet(in)
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .parquet(in)
+    // Complete mode: the rate limiter asks "who is over the limit right
+    // now" — no need to wait for the watermark to close windows (append
+    // mode would hold back unclosed windows within a single catch-up run)
+    val q = StreamOps.rateLimitWindows(stream, limit = 10)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("rl")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val flagged = spark.sql("SELECT DISTINCT user_id FROM rl").collect().map(_.getLong(0))
+    assert(flagged.toSet == Set(1L))
+  }
+
+  test("gateway session state with TTL via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.sessionSummaries(source.toDS(), ttlMs = 0L)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sess")
+      .start()
+    source.addData(
+      StreamOps.SessionEvent("gw_a", new java.sql.Timestamp(1L)),
+      StreamOps.SessionEvent("gw_a", new java.sql.Timestamp(2L)),
+      StreamOps.SessionEvent("gw_b", new java.sql.Timestamp(3L)))
+    q.processAllAvailable()
+    // second batch accumulates into existing session state
+    source.addData(StreamOps.SessionEvent("gw_a", new java.sql.Timestamp(4L)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT session_id, events, expired FROM sess")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    q.stop()
+    assert(got.toSet.contains(("gw_a", 2L, false)))
+    assert(got.toSet.contains(("gw_b", 1L, false)))
+    assert(got.toSet.contains(("gw_a", 3L, false))) // state carried across batches
+  }
+
+  test("wp shortcode strip (C7)") {
+    import graft.extract.AdapterChunker
+    val content = "[gallery ids=\"1,2\"]\nReal paragraph one stays.\n\n" +
+      "[video src=\"x\"]ignored body[/video]\n" +
+      "<!-- wp:navigation {\"ref\":4} -->\n[unknown_tag attr=1]\n" +
+      "Real paragraph two stays."
+    val cleaned = AdapterChunker.cleanWp(content)
+    assert(cleaned.contains("Real paragraph one stays."))
+    assert(cleaned.contains("Real paragraph two stays."))
+    assert(!cleaned.contains("gallery") && !cleaned.contains("ignored body"))
+    assert(!cleaned.contains("wp:navigation") && !cleaned.contains("unknown_tag"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.extract.{AdapterChunker, SyncCodec, TextUtil}
+
+/** ISO-8601 duration humanizer (M12) as a native Catalyst expression with
+  * code generation — stays inside whole-stage codegen instead of breaking
+  * the stage the way a Scala UDF would. Semantics:
+  * `/root/reference/sidecar/chunker.py:108-133`. */
+case class IsoDurationHumanize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "of_iso_duration"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IsoDurationHumanize.evalUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IsoDurationHumanize.evalUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IsoDurationHumanize =
+    copy(child = newChild)
+}
+
+object IsoDurationHumanize {
+  /** called from generated code — must be a static-reachable method */
+  def evalUtf8(s: UTF8String): UTF8String =
+    UTF8String.fromString(TextUtil.parseIsoDuration(s.toString))
+}
+
+/** Registered function surface (SURVEY.md §2.11): the extraction scalar/
+  * table functions usable from SQL. `of_iso_duration` is a native
+  * codegen'd expression; the rest are Scala UDFs over the pure extraction
+  * core. */
+object Functions {
+
+  final case class SqlChunk(id: String, text: String, `type`: String)
+
+  def registerAll(spark: SparkSession): Unit = {
+    // native expression → expression registry (codegen-friendly)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "of_iso_duration",
+      (exprs: Seq[Expression]) => IsoDurationHumanize(exprs.head),
+      "built-in")
+
+    // Scala UDFs over the pure extraction core
+    spark.udf.register("of_clean_html",
+      udf((html: String) => AdapterChunker.cleanHtml(html)))
+    spark.udf.register("of_clean_wp",
+      udf((html: String) => AdapterChunker.cleanWp(html)))
+    spark.udf.register("of_summarise",
+      udf((html: String, words: Int) => AdapterChunker.summarise(html, words)))
+    spark.udf.register("of_word_count",
+      udf((text: String) => AdapterChunker.countWords(text)))
+    spark.udf.register("of_detect_type",
+      udf((text: String) => AdapterChunker.detectType(text)))
+    spark.udf.register("of_chunk500",
+      udf((html: String, url: String) =>
+        AdapterChunker.chunkContent(html, url)
+          .map(c => SqlChunk(c.id, c.text, c.chunkType))))
+    spark.udf.register("of_sync_token",
+      udf((iso: String) => SyncCodec.encodeSyncToken(iso)))
+    spark.udf.register("of_parse_since",
+      udf((raw: String) => SyncCodec.parseSince(raw)))
+    spark.udf.register("of_extract_summary",
+      udf((url: String, html: String) => graft.extract.ChunkHtml(url, html).summary))
+  }
+
+  /** convenience: the native expression as a DataFrame transform */
+  def withIsoDuration(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn(out, org.apache.spark.sql.functions.expr(s"of_iso_duration($in)"))
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("functions-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("of_iso_duration: native expression, correct under codegen, null-safe") {
+    Functions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq("PT25M", "PT1H30M", "P1DT2H", "garbage", "PT45S", null)
+      .toDF("d")
+    val got = df.selectExpr("of_iso_duration(d) AS h").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("25 min", "1h 30 min", "1d 2h", "garbage", "45s", null))
+    // stays inside whole-stage codegen (no BatchEvalPython / no udf node)
+    val plan = df.selectExpr("of_iso_duration(d)").queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"), plan)
+  }
+
+  test("of_chunk500 from SQL: array<struct> with ids and types") {
+    Functions.registerAll(spark)
+    import spark.implicits._
+    // blank line between paragraphs: cleanHtml maps tags to spaces, so the
+    // \n\n separator must come from the source text (reference behavior)
+    val html = ("<p>" + ("word " * 300).trim + "</p>\n\n<p>" + ("más " * 300).trim + "</p>")
+    val rows = Seq((html, "https://e.com/p")).toDF("html", "url")
+      .createOrReplaceTempView("t")
+    val out = spark.sql(
+      """SELECT c.id, c.type, of_word_count(c.text) AS n
+        |FROM t LATERAL VIEW explode(of_chunk500(html, url)) AS c""".stripMargin)
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getInt(2)).toSeq == Seq(300, 300))
+    assert(out.forall(_.getString(0).startsWith(
+      graft.extract.AdapterChunker.md5Hex("https://e.com/p"))))
+  }
+
+  test("of_clean_html / of_summarise / of_detect_type / of_sync_token from SQL") {
+    Functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT of_clean_html('<b>a &amp; b</b>') AS c,
+        |       of_summarise('one two three four five', 3) AS s,
+        |       of_detect_type('- a\n- b\n- c') AS t,
+        |       of_parse_since(of_sync_token('2026-01-01T00:00:00+00:00')) AS ts,
+        |       of_clean_wp('[gallery ids="1"]keep this text') AS w""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "a & b")
+    assert(r.getString(1) == "one two three...")
+    assert(r.getString(2) == "list")
+    assert(r.getDouble(3) == 1.7672256e9)
+    assert(r.getString(4) == "keep this text")
+  }
+}

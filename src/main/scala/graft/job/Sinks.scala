@@ -1,0 +1,87 @@
+package graft.job
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Store-maintenance semantics from the reference's indexer/sync layer,
+  * expressed as batch table transforms (Iceberg `MERGE INTO` is the
+  * one-line swap once the runtime jar is present; the logic below is the
+  * same plan Iceberg would execute):
+  *
+  *  - S7 upsert: delete-then-insert per url —
+  *    `/root/reference/sidecar/indexer.py:74-148`
+  *  - S8 first_indexed_at carry-forward on re-index —
+  *    `/root/reference/sidecar/indexer.py:81-88,129-145`
+  *  - S9 delete + tombstone append —
+  *    `/root/reference/sidecar/indexer.py:157-174`,
+  *    `/root/reference/sidecar/sync_utils.py:88-92`
+  *  - W4/T4 tombstone FIFO cap 1000 + since-filter —
+  *    `/root/reference/sidecar/sync_utils.py:76-79,94-104`
+  */
+object Sinks {
+
+  /** S7+S8: upsert `incoming` into `existing` keyed by `url`.
+    * New rows win on every column except `first_indexed_at`, which keeps
+    * the earliest value ever seen (min across both sides). Shuffle: one
+    * hash exchange on url; broadcast the small side automatically. */
+  def upsertPages(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val cols = incoming.columns
+    require(cols.contains("url") && cols.contains("first_indexed_at"))
+    val oldFirst = existing.select(col("url"),
+      col("first_indexed_at").as("_old_first"))
+    val merged = incoming.join(oldFirst, Seq("url"), "left")
+      .withColumn("first_indexed_at",
+        least(col("first_indexed_at"), coalesce(col("_old_first"), col("first_indexed_at"))))
+      .drop("_old_first")
+    // untouched existing rows survive (anti-join), updated/new rows replace
+    existing.join(incoming.select("url"), Seq("url"), "left_anti")
+      .unionByName(merged.select(existing.columns.map(col).toSeq: _*))
+  }
+
+  /** S9: delete urls + record tombstones; returns (remaining, tombstones′)
+    * with the FIFO-1000 cap applied (newest by deleted_at kept). */
+  def deleteWithTombstones(existing: DataFrame, deleteUrls: DataFrame,
+      tombstones: DataFrame, deletedAt: java.sql.Timestamp,
+      cap: Int = 1000): (DataFrame, DataFrame) = {
+    val remaining = existing.join(deleteUrls, Seq("url"), "left_anti")
+    val appended = tombstones.unionByName(
+      deleteUrls.select(col("url"), lit(deletedAt).as("deleted_at")))
+    // url is a key: latest deletion wins, then FIFO cap newest `cap`
+    val latest = appended
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("url").orderBy(col("deleted_at").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val capped = latest
+      .withColumn("_rank", row_number().over(
+        Window.orderBy(col("deleted_at").desc, col("url"))))
+      .filter(col("_rank") <= cap).drop("_rank")
+    (remaining, capped)
+  }
+
+  /** T4: tombstones with deleted_at >= since (only consulted when a since
+    * cursor is present — sync_utils.py:94-104). */
+  def tombstonesSince(tombstones: DataFrame, since: java.sql.Timestamp): DataFrame =
+    tombstones.filter(col("deleted_at") >= lit(since)).orderBy("url")
+
+  /** T2+J5+A2+T3 combined: the full differential-sync envelope for a
+    * [since, until] window over an indexed pages table —
+    * `/root/reference/sidecar/main.py:393-472`. Returns (added, updated,
+    * deleted, counts, sync_token). */
+  def syncEnvelope(pages: DataFrame, tombstones: DataFrame,
+      since: java.sql.Timestamp, until: java.sql.Timestamp)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, String) = {
+    val inWindow = pages.filter(
+      col("indexed_at") >= lit(since) && col("indexed_at") <= lit(until))
+    val added = inWindow.filter(col("first_indexed_at") >= lit(since))
+    val updated = inWindow.filter(col("first_indexed_at") < lit(since))
+    val deleted = tombstonesSince(tombstones, since)
+    val counts = inWindow
+      .withColumn("bucket",
+        when(col("first_indexed_at") >= lit(since), "added").otherwise("updated"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val asOfIso = until.toInstant.atOffset(java.time.ZoneOffset.UTC)
+      .toLocalDateTime.toString + "+00:00"
+    (added, updated, deleted, counts, graft.extract.SyncCodec.encodeSyncToken(asOfIso))
+  }
+}

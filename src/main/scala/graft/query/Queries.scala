@@ -320,6 +320,47 @@ object Queries {
       count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** S11: JSON response envelope `schema:"openfeeder/1.0"` —
+    * `/root/reference/sidecar/main.py:489-641`. Rendered with `to_json`
+    * (compact, insertion-ordered — matches DuckDB's `to_json`). */
+  private val s11JsonEnvelope = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .select(col("doc_id"),
+        to_json(struct(
+          lit("openfeeder/1.0").as("schema"),
+          concat(lit("/"), col("source"), lit("/item-"), col("doc_id")).as("url"),
+          col("lang").as("language"),
+          col("n_chars"))).as("envelope"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, to_json(struct_pack(
+        schema := 'openfeeder/1.0',
+        url := '/' || source || '/item-' || doc_id,
+        language := lang,
+        n_chars := n_chars)) AS envelope
+      FROM documents ORDER BY doc_id"""))
+
+  /** P6: URL param sanitization — pathname only, strip trailing slash,
+    * reject traversal (`..`) — content.js:44-56, router.py:67-77. */
+  private val p6UrlSanitize = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .withColumn("url_raw",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("/"), col("source"), lit("/../etc/passwd")))
+          .otherwise(concat(lit("/"), col("source"), lit("/item-"), col("doc_id"), lit("/"))))
+      .withColumn("url_clean",
+        when(col("url_raw").contains(".."), lit(null).cast("string"))
+          .otherwise(regexp_replace(col("url_raw"), "/$", "")))
+      .select("doc_id", "url_raw", "url_clean")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      CASE WHEN doc_id % 7 = 0 THEN '/' || source || '/../etc/passwd'
+           ELSE '/' || source || '/item-' || doc_id || '/' END AS url_raw,
+      CASE WHEN (CASE WHEN doc_id % 7 = 0 THEN '/' || source || '/../etc/passwd'
+                 ELSE '/' || source || '/item-' || doc_id || '/' END) LIKE '%..%' THEN NULL
+           ELSE regexp_replace(CASE WHEN doc_id % 7 = 0 THEN '/' || source || '/../etc/passwd'
+                ELSE '/' || source || '/item-' || doc_id || '/' END, '/$', '') END AS url_clean
+      FROM documents ORDER BY doc_id"""))
+
   // ======================================================================
   // training-data pipeline operators (documents / embeddings)
   // ======================================================================
@@ -483,6 +524,8 @@ object Queries {
     "j1_broadcast_join" -> j1BroadcastJoin,
     "j3_anti_join" -> j3AntiJoin,
     "j6_union_dedup" -> j6UnionDedup,
+    "s11_json_envelope" -> s11JsonEnvelope,
+    "p6_url_sanitize" -> p6UrlSanitize,
     "x_token_count" -> xTokenCount,
     "x_quality" -> xQuality,
     "x_langid" -> xLangId,

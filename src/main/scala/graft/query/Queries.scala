@@ -320,6 +320,20 @@ object Queries {
       count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** J7: parent ↔ children nested collect (product ↔ variants) —
+    * `class-products-api.php:224-239,305-347`: children gathered into a
+    * sorted list per parent at write time. */
+  private val j7CollectVariants = Q(
+    (s, dir) => rd(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
+      .groupBy("l_orderkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+      count(*) AS n_lines FROM lineitem WHERE l_orderkey <= 2000
+      GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   /** S11: JSON response envelope `schema:"openfeeder/1.0"` —
     * `/root/reference/sidecar/main.py:489-641`. Rendered with `to_json`
     * (compact, insertion-ordered — matches DuckDB's `to_json`). */
@@ -526,6 +540,7 @@ object Queries {
     "j6_union_dedup" -> j6UnionDedup,
     "s11_json_envelope" -> s11JsonEnvelope,
     "p6_url_sanitize" -> p6UrlSanitize,
+    "j7_collect_variants" -> j7CollectVariants,
     "x_token_count" -> xTokenCount,
     "x_quality" -> xQuality,
     "x_langid" -> xLangId,

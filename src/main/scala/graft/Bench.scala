@@ -136,8 +136,9 @@ object Bench {
     val totalSec = results.map(_._2).sum
     def f(d: Double) = f"$d%.3f"
     val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val peakThr = thr(levels.max)
     val json =
-      s"""{"metric":"turns_per_sec_extracted","value":${f(thr4N)},"unit":"turns/sec",""" +
+      s"""{"metric":"turns_per_sec_extracted","value":${f(peakThr)},"unit":"turns/sec",""" +
       s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${f(totalSec)},""" +
       s""""scaling":{"cores_n":$nSmall,"cores_4n":$n4,"turns":$total,""" +
       s""""sec_n":${f(tN)},"sec_4n":${f(t4N)},"turns_per_sec_n":${f(thrN)},""" +

@@ -82,6 +82,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // the 100 TB story for repeated conv_id/orderkey joins: bucket both
+    // sides once at write time, join with zero shuffle forever after
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    s2.read.parquet(s"$sf/lineitem.parquet")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
+    s2.read.parquet(s"$sf/orders.parquet")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("o_b")
+    val joined = s2.table("li_b").join(s2.table("o_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p.take(1500))
+  }
+
   test("exact dedup shuffles hashes, not text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.ops.TextOps.exactDedup(docs).queryExecution.executedPlan.toString

@@ -35,7 +35,12 @@ object ExtractJob {
         * partitioning (extraction is row-local, so a balanced byte-split
         * scan needs no shuffle). */
       saltPartitions: Option[Int] = None,
-      saltBuckets: Int = 16)
+      saltBuckets: Int = 16,
+      /** storage-format seam: no Iceberg runtime jar ships in this
+        * container, so output tables are partitioned parquet with the same
+        * schema; `format = "iceberg"` is the one-line swap once the jar is
+        * present (MERGE INTO then replaces the dynamic-overwrite idiom). */
+      format: String = "parquet")
 
   private val isoFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")
     .withZone(ZoneOffset.UTC)
@@ -208,7 +213,7 @@ object ExtractJob {
           part.write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("conv_bucket")
-            .parquet(s"${cfg.outDir}/pages")
+            .format(cfg.format).save(s"${cfg.outDir}/pages")
           // chunks table (exploded, flat — the reference's chunk store)
           part.select($"conv_id", $"turn_idx", $"turn_pos", $"url", $"page_id",
               $"title", $"ts", $"conv_bucket", explode($"chunks").as("c"))
@@ -218,7 +223,7 @@ object ExtractJob {
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("conv_bucket")
-            .parquet(s"${cfg.outDir}/chunks")
+            .format(cfg.format).save(s"${cfg.outDir}/chunks")
           // metrics side table (exact, aggregated from output columns)
           val metrics = part.groupBy($"conv_bucket").agg(
               count(lit(1)).as("rows"), sum($"bytes_in").as("bytes_in"),
@@ -230,7 +235,7 @@ object ExtractJob {
               r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
           }.toSeq
           spark.createDataset(metricRows).write.mode(SaveMode.Append)
-            .parquet(s"${cfg.outDir}/metrics")
+            .format(cfg.format).save(s"${cfg.outDir}/metrics")
           // lineage LAST: a bucket is only "done" once its data + metrics
           // are durable (idempotent resume)
           val lineageRows = metricRows.map(m =>
@@ -238,7 +243,7 @@ object ExtractJob {
             groupBuckets.filterNot(b => metricRows.exists(_.conv_bucket == b))
               .map(b => LineageRow(cfg.runId, g, b, "done", 0L)) // empty buckets
           spark.createDataset(lineageRows).write.mode(SaveMode.Append)
-            .parquet(s"${cfg.outDir}/lineage")
+            .format(cfg.format).save(s"${cfg.outDir}/lineage")
           written += metricRows.map(_.rows_out).sum
         } finally part.unpersist()
       }

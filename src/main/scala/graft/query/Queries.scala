@@ -408,7 +408,21 @@ object Queries {
 
   private val xLangId = Q(
     (s, dir) => TextOps.langId(rd(s, dir, "documents")),
-    None) // CASE-chain oracle is expressible but verbose; covered by ScalaTest
+    Some {
+      def occ(w: String) =
+        s"(length(lower(text)) - length(replace(lower(text), ' $w ', ''))) // ${w.length + 2}"
+      def hits(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
+      val en = hits(Seq("the", "and", "of"))
+      val fr = hits(Seq("le", "la", "et", "les"))
+      val es = hits(Seq("el", "los", "que", "y"))
+      val de = hits(Seq("der", "die", "und", "das"))
+      s"""SELECT doc_id, lang, CAST($en AS INT) AS en_hits, CAST($fr AS INT) AS fr_hits,
+        CAST($es AS INT) AS es_hits, CAST($de AS INT) AS de_hits,
+        CASE WHEN $en >= $fr AND $en >= $es AND $en >= $de THEN 'en'
+             WHEN $fr >= $es AND $fr >= $de THEN 'fr'
+             WHEN $es >= $de THEN 'es' ELSE 'de' END AS lang_pred
+        FROM documents ORDER BY doc_id"""
+    })
 
   private val xExactDedup = Q(
     (s, dir) => TextOps.exactDedup(rd(s, dir, "documents")),
@@ -424,7 +438,24 @@ object Queries {
   private val xNgramJaccard = Q(
     (s, dir) => TextOps.ngramJaccardPairs(rd(s, dir, "documents"), n = 3,
       thresholdX1000 = 200),
-    None) // verified by DuckDB-equivalent in ScalaTest oracle; join too wide for a one-liner
+    Some("""WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+      ), idx AS (
+        SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS i FROM words
+      ), sh AS (
+        SELECT DISTINCT doc_id,
+          substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16) AS sh
+        FROM idx
+      ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, inter * 1000 // (sa.n_sh + sb.n_sh - inter) AS jaccard_x1000
+      FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter * 1000 // (sa.n_sh + sb.n_sh - inter) >= 200
+      ORDER BY doc_a, doc_b"""))
 
   private val xSimHash = Q(
     (s, dir) => TextOps.simHash(rd(s, dir, "documents")),

@@ -142,27 +142,38 @@ object ChunkHtml {
     val seenTexts = mutable.HashSet.empty[String]
     var blocksKept = 0
     var blocksDropped = 0
+    // The reference cleans every element's text before the tag dispatch
+    // (chunker.py:669-697), but for non-chunkable tags the result is dead:
+    // they neither emit nor touch seen_texts. Skipping the computation for
+    // them is a pure dead-code elimination — output-identical, and most
+    // elements (div/span/a/li/...) take this path.
+    def chunkTypeOf(tag: String): String = tag match {
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
+      case "ul" | "ol" => "list"
+      case "pre" | "code" => "code"
+      case "blockquote" => "quote"
+      case "p" => "paragraph"
+      case _ => null // li folded into parent; containers + all others skipped
+    }
     def walk(parent: HElem): Unit = if (parent.hasChildren) parent.children.foreach {
       case el: HElem =>
-        val before = chunks.length
-        var text = TextUtil.cleanText(subtreeText(el))
-        if (text.nonEmpty && TextUtil.cpLength(text) >= 20 && !seenTexts.contains(text)) {
-          val chunkType = el.name match {
-            case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
-            case "ul" | "ol" => "list"
-            case "pre" | "code" =>
-              text = TextUtil.stripPy(subtreeText(el)) // E6: code keeps original whitespace
-              "code"
-            case "blockquote" => "quote"
-            case "p" => "paragraph"
-            case _ => null // li folded into parent; containers + all others skipped
+        val chunkType = chunkTypeOf(el.name)
+        if (chunkType != null) {
+          val before = chunks.length
+          val cleaned = TextUtil.cleanText(subtreeText(el))
+          if (cleaned.nonEmpty && TextUtil.cpLength(cleaned) >= 20 &&
+              !seenTexts.contains(cleaned)) {
+            // E6: code keeps original whitespace (chunker.py:681-684)
+            val text = if (chunkType == "code") TextUtil.stripPy(subtreeText(el)) else cleaned
+            if (text.nonEmpty) {
+              seenTexts += text
+              chunks ++= splitLongText(text, chunkType)
+            }
           }
-          if (chunkType != null && text.nonEmpty) {
-            seenTexts += text
-            chunks ++= splitLongText(text, chunkType)
-          }
+          if (chunks.length > before) blocksKept += 1 else blocksDropped += 1
+        } else {
+          blocksDropped += 1
         }
-        if (chunks.length > before) blocksKept += 1 else blocksDropped += 1
         walk(el)
       case _: HText => ()
     }

@@ -530,6 +530,14 @@ object Queries {
       .orderBy("conv_id", "turn_idx", "chunk_index"),
     None)
 
+  private val vValidate = Q(
+    (s, dir) => {
+      val turns = Transcripts.generate(s, nConvs = 200)
+      Validator.report(ExtractJob.extract(turns), turns)
+        .orderBy("conv_id", "turn_idx")
+    },
+    None)
+
   private val eAdapterChunks = Q(
     (s, dir) => {
       val spark = s
@@ -587,5 +595,6 @@ object Queries {
     "e_extract_turns" -> eExtractTurns,
     "e_extract_chunks" -> eExtractChunks,
     "e_adapter_chunks" -> eAdapterChunks,
+    "v_validate" -> vValidate,
   )
 }

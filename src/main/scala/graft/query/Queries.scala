@@ -530,6 +530,35 @@ object Queries {
       .orderBy("conv_id", "turn_idx", "chunk_index"),
     None)
 
+  /** The flagship extraction pipeline, ORACLE-CHECKED: over plain-text
+    * payloads (the documents table: no markup, < 1500 chars) the pipeline's
+    * output is exactly predictable in SQL — lxml wraps bare text in one
+    * `<p>`, so each doc yields one paragraph chunk whose text is the
+    * whitespace-collapsed input, and the summary is its 500-char prefix.
+    * This gives the extraction operator a hard DuckDB gate instead of a
+    * rows-only check. */
+  private val eExtractDocsOracle = Q(
+    (s, dir) => {
+      import s.implicits._
+      val turns = rd(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("conv_id"), lit(0).as("turn_idx"),
+          lit("user").as("role"), col("text"), lit("").as("tool"),
+          lit(new java.sql.Timestamp(Transcripts.EpochStart * 1000L)).as("ts"))
+        .as[graft.model.Turn]
+      ExtractJob.extract(turns).toDF()
+        .select(col("conv_id").cast("long").as("doc_id"), col("n_chunks"),
+          element_at(col("chunks"), 1).getField("text").as("chunk_text"),
+          element_at(col("chunks"), 1).getField("chunk_type").as("chunk_type"),
+          col("summary"), col("language"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, 1 AS n_chunks,
+      regexp_replace(trim(text), '\s+', ' ', 'g') AS chunk_text,
+      'paragraph' AS chunk_type,
+      substr(regexp_replace(trim(text), '\s+', ' ', 'g'), 1, 500) AS summary,
+      'en' AS language
+      FROM documents ORDER BY doc_id"""))
+
   private val vValidate = Q(
     (s, dir) => {
       val turns = Transcripts.generate(s, nConvs = 200)
@@ -594,6 +623,7 @@ object Queries {
     "x_multimodal_decode" -> xMultimodal,
     "e_extract_turns" -> eExtractTurns,
     "e_extract_chunks" -> eExtractChunks,
+    "e_extract_docs_oracle" -> eExtractDocsOracle,
     "e_adapter_chunks" -> eAdapterChunks,
     "v_validate" -> vValidate,
   )

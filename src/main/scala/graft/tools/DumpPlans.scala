@@ -1,0 +1,58 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+import graft.job.{ExtractJob, Transcripts}
+
+/** Writes PLANS.md: `explain("formatted")` output of the flagship pipeline
+  * and the headline queries — the "is this the plan you'd want at 100 TB"
+  * artifact, regenerated with `sbt "runMain graft.tools.DumpPlans"`. */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("dump-plans")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+    val sb = new StringBuilder
+    sb ++= "# PLANS — physical plans of the flagship pipeline and headline queries\n\n"
+    sb ++= "Regenerate: `sbt \"runMain graft.tools.DumpPlans\"`. Assertions on these\n"
+    sb ++= "shapes live in `PlanSpec` (pushdown, pruning, broadcast, codegen,\n"
+    sb ++= "shuffle counts, AQE skew split, bucketed co-location).\n"
+
+    val turns = Transcripts.generate(spark, 50)
+    val sections = Seq(
+      "extraction (zero-shuffle typed mapPartitions)" ->
+        fmt(ExtractJob.extract(turns).toDF()),
+      "extraction + stable ordering window (one exchange)" ->
+        fmt(ExtractJob.withTurnPos(ExtractJob.extract(turns)).toDF()),
+      "q1_agg (partial aggregation, integer-cents sums)" ->
+        fmt(SparkEntry.queries("q1_agg")(spark, sf)),
+      "j1_broadcast_join (small dim broadcast)" ->
+        fmt(SparkEntry.queries("j1_broadcast_join")(spark, sf)),
+      "p12_product_filters (pushed filters + pruned columns)" ->
+        fmt(SparkEntry.queries("p12_product_filters")(spark, sf)),
+      "p10_topk_min_score (TakeOrderedAndProject)" ->
+        fmt(SparkEntry.queries("p10_topk_min_score")(spark, sf)),
+      "x_exact_dedup (map-side combine, hashes shuffle — not text)" ->
+        fmt(SparkEntry.queries("x_exact_dedup")(spark, sf)),
+      "x_embedding_topk (single scan, codegen'd dot products)" ->
+        fmt(SparkEntry.queries("x_embedding_topk")(spark, sf)),
+    )
+    sections.foreach { case (title, plan) =>
+      sb ++= s"\n## $title\n\n```\n${plan.trim.take(4000)}\n```\n"
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println(s"wrote PLANS.md (${sb.length} chars)")
+    spark.stop()
+  }
+}

@@ -102,6 +102,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p.take(1500))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // mega-conversation-style skew: 90% of the fact side hits one key.
+    // With thresholds scaled to test data, AQE's OptimizeSkewedJoin must
+    // split the hot partition instead of letting one task carry it.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    val fact = s2.range(200000)
+      .select(when($"id" % 10 === 0, lit("hot")).otherwise(concat(lit("k"), $"id"))
+        .as("key"), $"id".as("v"))
+    val dim = (Seq("hot") ++ (0 until 2000).map(i => s"k$i")).toDF("key")
+      .withColumn("d", lit(1))
+    val joined = fact.join(dim, "key")
+    joined.collect() // materialize THIS queryExecution (count() would plan anew)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("skew=true"), "AQE should mark the skewed join:\n" + p.take(1500))
+  }
+
   test("exact dedup shuffles hashes, not text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.ops.TextOps.exactDedup(docs).queryExecution.executedPlan.toString

@@ -80,4 +80,29 @@ object VectorOps {
     }
     emb.withColumn("cell", greatest(scores: _*).getField("cell"))
   }
+
+  /** Deterministic unit-ish centroids from the hyperplane generator. */
+  def deterministicCentroids(nCells: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nCells)(c =>
+      Array.tabulate(dim)(d => planeComponent(c + 1000, d).toFloat))
+
+  /** IVF ANN: assign vectors to cells once (store partitioned by `cell` at
+    * scale → partition pruning), probe the `nProbe` cells nearest to the
+    * query, exact-rerank inside them. */
+  def ivfTopK(emb: DataFrame, dim: Int, query: Array[Float], k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val centroids = deterministicCentroids(nCells, dim)
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cosLocal(c, query) }
+      .take(nProbe).map(_._2)
+    val assigned = ivfAssign(emb, centroids)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+    cosineTopK(assigned, query, k, excludeId)
+  }
 }

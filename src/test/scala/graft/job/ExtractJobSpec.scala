@@ -77,6 +77,20 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(perPartition.length > 1, "mega conversation should span multiple partitions")
   }
 
+  test("scale smoke: 50k-turn mega-conversation through the full ordered pipeline") {
+    val turns = Transcripts.generate(spark, 5, megaTurns = 50000, nMega = 1)
+    val out = ExtractJob.withTurnPos(ExtractJob.extract(turns))
+    val mega = out.filter(org.apache.spark.sql.functions.col("conv_id") === "mega-0")
+    val agg = mega.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.min("turn_pos"),
+      org.apache.spark.sql.functions.max("turn_pos"),
+      org.apache.spark.sql.functions.countDistinct("turn_pos")).collect().head
+    assert(agg.getLong(0) == 50000L)
+    assert(agg.getLong(1) == 1L && agg.getLong(2) == 50000L)
+    assert(agg.getLong(3) == 50000L) // positions contiguous & unique under skew
+  }
+
   test("run + resume: no recompute of completed buckets, identical final output") {
     import spark.implicits._
     val turns = Transcripts.generate(spark, 60)

@@ -101,6 +101,23 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall $recall too low")
   }
 
+  test("ivf top-k: cell partition is total; probing recalls a fair share") {
+    val centroids = VectorOps.deterministicCentroids(16, 64)
+    val assigned = VectorOps.ivfAssign(emb, centroids)
+    assert(assigned.count() == emb.count()) // every vector in exactly one cell
+    val cells = assigned.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 16))
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val exact = VectorOps.cosineTopK(emb, q, 20, excludeId = Some(3L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = VectorOps.ivfTopK(emb, 64, q, 20, nCells = 16, nProbe = 6,
+      excludeId = Some(3L)).collect().map(_.getLong(0)).toSet
+    assert(approx.size <= 20 && approx.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ivf recall $recall") // random vectors: worst case
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingNearDups(emb, dim = 64, thresholdX10000 = 3000,
       nPlanes = 6).collect()

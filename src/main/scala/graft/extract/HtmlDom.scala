@@ -30,6 +30,9 @@ object HtmlDom {
     override def fillInStackTrace(): Throwable = this
   }
 
+  /** max element nesting depth; deeper opens flatten to siblings. */
+  val MaxDepth = 512
+
   sealed trait HNode {
     var parent: HElem = _
   }
@@ -186,6 +189,15 @@ object HtmlDom {
       if (s.nonEmpty) top.append(new HText(if (decodeEntities) HtmlEntities.decode(s) else s))
 
     def openTag(name: String, attrs: Map[String, String], selfClosing: Boolean): Unit = {
+      // depth cap (libxml2 caps nesting too): beyond it, elements attach at
+      // the capped level instead of nesting — text is preserved, and the
+      // recursive traversals (getText / walk / meta scan) stay stack-safe
+      // on pathological payloads (a 10^12-turn corpus WILL contain them)
+      if (stack.length >= MaxDepth) {
+        val el = new HElem(name, attrs)
+        top.append(el)
+        return
+      }
       // merge duplicate html/body/head opens instead of nesting (libxml2)
       if (name == "html" || name == "body" || name == "head") {
         val existing = stack.find(_.name == name).orElse(doc.find(name))

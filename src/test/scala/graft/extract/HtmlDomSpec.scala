@@ -104,4 +104,19 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(doc.find("title").get.getText == "a & <b> c")
     assert(doc.find("b").isEmpty)
   }
+
+  test("pathological nesting depth does not blow the stack") {
+    val deep = "<div>" * 200000 + "<p>payload text survives here</p>" + "</div>" * 200000
+    val doc = parse(deep)
+    assert(doc.getText == "payload text survives here")
+    // full pipeline stays safe too; the <p> beyond the cap still chunks
+    // (div-wrapped bare text would not chunk — same as the reference)
+    val page = graft.extract.ChunkHtml("u", deep)
+    assert(page.chunks.map(_.text) == Vector("payload text survives here"))
+  }
+
+  test("pathological unclosed tags do not blow the stack") {
+    val deep = "<p>" + "<span>" * 300000 + "tail"
+    assert(parse(deep).getText == "tail")
+  }
 }

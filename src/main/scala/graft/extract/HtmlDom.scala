@@ -189,15 +189,12 @@ object HtmlDom {
       if (s.nonEmpty) top.append(new HText(if (decodeEntities) HtmlEntities.decode(s) else s))
 
     def openTag(name: String, attrs: Map[String, String], selfClosing: Boolean): Unit = {
-      // depth cap (libxml2 caps nesting too): beyond it, elements attach at
-      // the capped level instead of nesting — text is preserved, and the
-      // recursive traversals (getText / walk / meta scan) stay stack-safe
-      // on pathological payloads (a 10^12-turn corpus WILL contain them)
-      if (stack.length >= MaxDepth) {
-        val el = new HElem(name, attrs)
-        top.append(el)
-        return
-      }
+      // depth cap (libxml2 caps nesting too): beyond it the deepest open
+      // slot is collapsed, so new elements become siblings at the cap while
+      // text still attaches to the most recent element — traversal
+      // recursion stays bounded on pathological payloads (a 10^12-turn
+      // corpus WILL contain them)
+      if (stack.length >= MaxDepth) stack.remove(stack.length - 1)
       // merge duplicate html/body/head opens instead of nesting (libxml2)
       if (name == "html" || name == "body" || name == "head") {
         val existing = stack.find(_.name == name).orElse(doc.find(name))

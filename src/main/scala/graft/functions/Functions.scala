@@ -70,6 +70,14 @@ object Functions {
       udf((raw: String) => SyncCodec.parseSince(raw)))
     spark.udf.register("of_extract_summary",
       udf((url: String, html: String) => graft.extract.ChunkHtml(url, html).summary))
+    // §2.11 `of_extract`: the sidecar chunk pipeline from SQL (typed
+    // mapPartitions remains the bulk path; this is the ad-hoc surface)
+    spark.udf.register("of_extract_chunks",
+      udf((url: String, html: String) =>
+        graft.extract.ChunkHtml(url, html).chunks.zipWithIndex.map { case (c, i) =>
+          SqlChunk(graft.job.ExtractJob.sha256Hex(s"$url::chunk::$i").take(16),
+            c.text, c.chunkType)
+        }))
   }
 
   /** convenience: the native expression as a DataFrame transform */

@@ -493,6 +493,26 @@ object Queries {
       thresholdX10000 = 3500, nPlanes = 6),
     None)
 
+  private val xEmbeddingIvf = Q(
+    (s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      VectorOps.ivfTopK(emb, dim = 64, q, k = 20, nCells = 16, nProbe = 6,
+        excludeId = Some(0L))
+    },
+    None) // recall vs brute force asserted in ScalaTest
+
+  /** P11: url_filter — restrict lookup to one page (indexer.py:193). */
+  private val p11SinglePage = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .filter(col("doc_id") === 42)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.wordCount(col("text")).cast("long").as("n_words")),
+    Some("""SELECT doc_id, lang, source,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+      FROM documents WHERE doc_id = 42"""))
+
   private val xMultimodal = Q(
     (s, dir) => Multimodal.decode(Multimodal.synthesize(rd(s, dir, "documents")))
       .toDF()
@@ -619,6 +639,8 @@ object Queries {
     "x_minhash_pairs" -> xMinHashPairs,
     "x_embedding_topk" -> xEmbeddingTopK,
     "x_embedding_lsh" -> xEmbeddingLsh,
+    "x_embedding_ivf" -> xEmbeddingIvf,
+    "p11_single_page" -> p11SinglePage,
     "x_embedding_neardup" -> xEmbeddingNearDup,
     "x_multimodal_decode" -> xMultimodal,
     "e_extract_turns" -> eExtractTurns,

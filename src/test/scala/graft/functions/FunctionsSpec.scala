@@ -42,6 +42,19 @@ class FunctionsSpec extends AnyFunSuite {
       graft.extract.AdapterChunker.md5Hex("https://e.com/p"))))
   }
 
+  test("of_extract_chunks from SQL: sidecar pipeline, typed chunks with sha ids") {
+    Functions.registerAll(spark)
+    val out = spark.sql(
+      """SELECT c.id, c.type, c.text FROM (SELECT 1) t
+        |LATERAL VIEW explode(of_extract_chunks('https://e.com/r',
+        |  '<html><body><main><h2>Section heading of decent length</h2>
+        |   <p>A paragraph with more than twenty characters.</p></main></body></html>')) AS c
+        |""".stripMargin).collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("heading", "paragraph"))
+    assert(out.forall(_.getString(0).length == 16))
+    assert(out(1).getString(2) == "A paragraph with more than twenty characters.")
+  }
+
   test("of_clean_html / of_summarise / of_detect_type / of_sync_token from SQL") {
     Functions.registerAll(spark)
     val r = spark.sql(

@@ -121,13 +121,21 @@ object Bench {
       s""""turns_per_sec_4n":${(thr(p._2) * 1000).round / 1000.0},"efficiency":${(eff(p) * 1000).round / 1000.0}}""")
       .mkString("{", ",", "}")
 
-    // query surface timings at local[cpus]
+    // query surface timings at local[cpus]; a crashing query must surface
+    // as "err", never masquerade as a fast time
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH QUERY FAILED: $name: $e")
+            name -> Left("err")
+        }
+      }
     // full pipeline (extract + stable ordering window) at local[cpus]
     val turnsIn = { import spark.implicits._
       spark.read.parquet(inputPath).as[graft.model.Turn] }
@@ -136,9 +144,12 @@ object Bench {
     val pipeSec = (System.nanoTime() - tPipe0) / 1e9
     spark.stop()
 
-    val totalSec = results.map(_._2).sum
+    val totalSec = results.collect { case (_, Right(v)) => v }.sum
     def f(d: Double) = f"$d%.3f"
-    val qs = results.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val qs = results.map {
+      case (k, Right(v)) => s""""$k":${f(v)}"""
+      case (k, Left(e)) => s""""$k":"$e""""
+    }.mkString("{", ",", "}")
     val peakThr = thr(levels.max)
     val json =
       s"""{"metric":"turns_per_sec_extracted","value":${f(peakThr)},"unit":"turns/sec",""" +

@@ -211,7 +211,13 @@ object HtmlDom {
       }
       val el = new HElem(name, attrs)
       top.append(el)
-      if (!selfClosing && !voidElements.contains(name)) stack += el
+      // libxml2's HTML parser ignores the self-closing flag on non-void HTML
+      // tags (<div/> stays open); it is only honored in foreign content
+      // (svg/math subtrees), matching the reference's BeautifulSoup DOM
+      val honorSelfClose = selfClosing &&
+        (name == "svg" || name == "math" ||
+          stack.exists(e => e.name == "svg" || e.name == "math"))
+      if (!honorSelfClose && !voidElements.contains(name)) stack += el
     }
 
     def closeTag(name: String): Unit = {

@@ -92,7 +92,10 @@ object TextUtil {
     if (duration == null || duration.isEmpty) return ""
     val m = isoDuration.matcher(stripPy(duration))
     if (!m.matches()) return duration
-    def g(i: Int): Long = Option(m.group(i)).filter(_.nonEmpty).map(_.toLong).getOrElse(0L)
+    // BigInt: Python int() is arbitrary-precision, so PT{20+ digits}S must
+    // humanize rather than throw (a NumberFormatException here would fail
+    // the whole task inside mapPartitions)
+    def g(i: Int): BigInt = Option(m.group(i)).filter(_.nonEmpty).map(BigInt(_)).getOrElse(BigInt(0))
     val (d, h, mi, s) = (g(1), g(2), g(3), g(4))
     val parts = Seq(
       if (d != 0) Some(s"${d}d") else None,

@@ -153,24 +153,29 @@ object ExtractJob {
       .withColumn("_pid", spark_partition_id())
       .cache()
     try {
-      // tiny: one row per (partition, conversation)
-      val counts = ranged.groupBy($"_pid", $"conv_id").count()
-        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-      val offsets: Map[(Int, String), Long] = counts
-        .groupBy(_._2).iterator.flatMap { case (conv, rows) =>
-          var acc = 0L
-          rows.sortBy(_._1).map { case (pid, _, n) => val off = acc; acc += n; ((pid, conv), off) }
-        }.toMap
-      val bOffsets = spark.sparkContext.broadcast(offsets)
-      ranged.as[ExtractedTurnWithPid].mapPartitions { it =>
-        var lastConv: String = null
-        var local = 0L
-        it.map { r =>
-          if (r.conv_id != lastConv) { lastConv = r.conv_id; local = 0L }
-          local += 1
-          r.toExtracted(bOffsets.value.getOrElse((r._pid, r.conv_id), 0L) + local)
+      // prefix offsets per (partition, conversation), computed DISTRIBUTED:
+      // the counts table has one row per (partition, conv) — tiny relative
+      // to the data, but at 10^9+ conversations it must never transit the
+      // driver. A window partitioned by conv_id over the counts (each
+      // conversation spans at most a few partitions) yields the running
+      // prefix; broadcast-join it back onto the ranged rows.
+      val wOff = Window.partitionBy("conv_id").orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy($"_pid", $"conv_id").count()
+        .withColumn("_off", coalesce(sum($"count").over(wOff), lit(0L)))
+        .select($"_pid", $"conv_id", $"_off")
+      // broadcast hash join streams `ranged` in place: within-partition sort
+      // order survives, so the local running counter below stays valid
+      ranged.join(broadcast(offsets), Seq("_pid", "conv_id"))
+        .as[ExtractedTurnWithPid].mapPartitions { it =>
+          var lastConv: String = null
+          var local = 0L
+          it.map { r =>
+            if (r.conv_id != lastConv) { lastConv = r.conv_id; local = 0L }
+            local += 1
+            r.toExtracted(r._off + local)
+          }
         }
-      }
       // `ranged` stays cached so the offsets pass and the output pass see
       // the same range-partition assignment; caller unpersists via
       // spark.catalog.clearCache() when done.
@@ -231,10 +236,19 @@ object ExtractJob {
               sum($"blocks_kept").as("blocks_kept"), sum($"blocks_dropped").as("blocks_dropped"))
             .collect()
           val metricRows = metrics.map { r =>
+            // rows_in == rows_out by construction: extraction is strictly
+            // one ExtractedTurn per Turn (both kept so a future filtering
+            // stage can diverge them)
             MetricRow(cfg.runId, g, r.getInt(0), r.getLong(1), r.getLong(1),
               r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
           }.toSeq
-          spark.createDataset(metricRows).write.mode(SaveMode.Append)
+          // dynamic overwrite keyed by (run_id, group_id): a crash between
+          // the metrics write and the lineage write re-runs the group, and
+          // the re-run REPLACES this group's metrics instead of appending
+          // duplicates — metrics stay exact under resume
+          spark.createDataset(metricRows).write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "group_id")
             .format(cfg.format).save(s"${cfg.outDir}/metrics")
           // lineage LAST: a bucket is only "done" once its data + metrics
           // are durable (idempotent resume)
@@ -269,14 +283,15 @@ object ExtractJob {
     spark.read.parquet(s"$outDir/chunks")
 }
 
-/** Row shape used internally by [[ExtractJob.scalableTurnPos]]. */
+/** Row shape used internally by [[ExtractJob.scalableTurnPos]]. `_off` is
+  * the turn-count prefix of this conversation in partitions before `_pid`. */
 final case class ExtractedTurnWithPid(
     conv_id: String, turn_idx: Int, turn_pos: Long, url: String, page_id: String,
     role: String, tool: String, ts: java.sql.Timestamp, title: String,
     author: Option[String], published: Option[String], updated: String,
     language: String, summary: String, chunks: Seq[ChunkOut],
     metadata: MetadataOut, n_chunks: Int, bytes_in: Long, bytes_out: Long,
-    blocks_kept: Int, blocks_dropped: Int, _pid: Int) {
+    blocks_kept: Int, blocks_dropped: Int, _pid: Int, _off: Long) {
   def toExtracted(pos: Long): ExtractedTurn = ExtractedTurn(
     conv_id, turn_idx, pos, url, page_id, role, tool, ts, title, author,
     published, updated, language, summary, chunks, metadata, n_chunks,

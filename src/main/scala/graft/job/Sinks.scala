@@ -1,7 +1,6 @@
 package graft.job
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Store-maintenance semantics from the reference's indexer/sync layer,
@@ -47,15 +46,14 @@ object Sinks {
     val remaining = existing.join(deleteUrls, Seq("url"), "left_anti")
     val appended = tombstones.unionByName(
       deleteUrls.select(col("url"), lit(deletedAt).as("deleted_at")))
-    // url is a key: latest deletion wins, then FIFO cap newest `cap`
+    // url is a key: latest deletion wins (groupBy max — map-side combinable,
+    // no window), then FIFO cap newest `cap` as top-k sort+limit
+    // (TakeOrderedAndProject), never a single-partition global window
     val latest = appended
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("url").orderBy(col("deleted_at").desc)))
-      .filter(col("_rn") === 1).drop("_rn")
+      .groupBy("url").agg(max("deleted_at").as("deleted_at"))
     val capped = latest
-      .withColumn("_rank", row_number().over(
-        Window.orderBy(col("deleted_at").desc, col("url"))))
-      .filter(col("_rank") <= cap).drop("_rank")
+      .orderBy(col("deleted_at").desc, col("url"))
+      .limit(cap)
     (remaining, capped)
   }
 
@@ -80,8 +78,9 @@ object Sinks {
       .withColumn("bucket",
         when(col("first_indexed_at") >= lit(since), "added").otherwise("updated"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
-    val asOfIso = until.toInstant.atOffset(java.time.ZoneOffset.UTC)
-      .toLocalDateTime.toString + "+00:00"
+    // SyncCodec.toIsoUtc pads whole-minute timestamps to ":00" seconds like
+    // Python's isoformat (LocalDateTime.toString would drop them)
+    val asOfIso = graft.extract.SyncCodec.toIsoUtc(until.getTime / 1000.0)
     (added, updated, deleted, counts, graft.extract.SyncCodec.encodeSyncToken(asOfIso))
   }
 }

@@ -10,39 +10,55 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** k-permutation MinHash signature per document over word n-gram shingles. */
-  def minHashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
-    val shingled = docs.select(col("doc_id"),
-        explode(TextOps.wordNgrams(lower(col("text")), n)).as("shingle"))
-      .distinct()
+  /** k-permutation MinHash signature per document over word n-gram
+    * shingles. `maxDf` drops shingles above that document frequency before
+    * hashing (boilerplate shingles both skew LSH buckets quadratic and
+    * inflate similarity of unrelated docs — dropping them is the standard
+    * web-scale setup; see TextOps.shingles). */
+  def minHashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16,
+      maxDf: Option[Long] = None): DataFrame = {
+    val shingled = TextOps.shingles(docs, n, maxDf)
     val mins = (0 until k).map(j =>
-      min(xxhash64(col("shingle"), lit(j))).as(s"mh$j"))
+      min(xxhash64(col("sh"), lit(j))).as(s"mh$j"))
     shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: `bands` bands of `k/bands` rows each; two docs are
     * candidates if any band agrees fully. Returns exact-verified pairs with
-    * estimated Jaccard = fraction of agreeing minhashes (x1000, integer). */
+    * estimated Jaccard = fraction of agreeing minhashes (x1000, integer).
+    *
+    * Scale shape: the band self-join shuffles ONLY the narrow
+    * (doc_id, band, key) triple — full k-element signatures are re-joined
+    * for the (much smaller) candidate set afterwards, so a hot band bucket
+    * costs 24 bytes/row instead of 24 + 8k. The signature table is
+    * persisted (doc_id + k longs ≈ 140 B/doc — disk-spillable, tiny next
+    * to the corpus) so shingling runs once, not three times. */
   def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-      minEstJaccardX1000: Int = 500): DataFrame = {
+      minEstJaccardX1000: Int = 500, maxDf: Option[Long] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = minHashSignatures(docs, n, k)
-    val banded = sigs.select(col("doc_id") +: (0 until k).map(j => col(s"mh$j")) :+
+    val sigs = minHashSignatures(docs, n, k, maxDf)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            xxhash64((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*).as("key"))): _*)).as("bk"): _*)
-      .select(col("doc_id"), col("bk.band"), col("bk.key"),
-        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
-    val agree = (0 until k).map(j =>
-      when(element_at(col("a.sig"), j + 1) === element_at(col("b.sig"), j + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    banded.as("a").join(banded.as("b"),
+            xxhash64((b * r until (b + 1) * r).map(j =>
+              element_at(col("sig"), j + 1)): _*).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (agree * 1000 / k).cast("long").as("est_jaccard_x1000"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val agree = (0 until k).map(j =>
+      when(element_at(col("sa"), j + 1) === element_at(col("sb"), j + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (agree * 1000 / k).cast("long").as("est_jaccard_x1000"))
       .filter(col("est_jaccard_x1000") >= minEstJaccardX1000)
       .orderBy("doc_a", "doc_b")
   }

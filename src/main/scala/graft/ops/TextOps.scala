@@ -94,14 +94,35 @@ object TextOps {
     h
   }
 
-  /** Word n-gram Jaccard near-dup: explode shingles, self-join on shingle
-    * hash, |A∩B| / |A∪B| ≥ threshold. Shingle hashes (8-byte md5 prefix)
-    * shuffle instead of text. Output: (doc_a, doc_b, jaccard_x1000). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thresholdX1000: Int = 300): DataFrame = {
+  /** Distinct (doc_id, shingle-hash) pairs, optionally dropping shingles
+    * whose document frequency exceeds `maxDf`. A hot shingle (boilerplate
+    * phrase shared by a large fraction of the corpus) turns the shingle
+    * self-join quadratic — one shingle in 1% of a 10^9-doc corpus is a
+    * 10^14-pair bucket. Capping document frequency is the standard
+    * web-scale fix; the hot set is tiny, so it anti-joins as a broadcast. */
+  def shingles(docs: DataFrame, n: Int, maxDf: Option[Long] = None): DataFrame = {
     val shingled = docs.select(col("doc_id"),
         explode(wordNgrams(lower(col("text")), n)).as("shingle"))
       .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("sh"))
       .distinct()
+    maxDf match {
+      case None => shingled
+      case Some(cap) =>
+        val hot = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        shingled.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+  }
+
+  /** Word n-gram Jaccard near-dup: explode shingles, self-join on shingle
+    * hash, |A∩B| / |A∪B| ≥ threshold. Shingle hashes (8-byte md5 prefix)
+    * shuffle instead of text. Jaccard is computed over the df-capped
+    * shingle sets on BOTH the intersection and the sizes, so the estimate
+    * stays a true Jaccard of the retained sets.
+    * Output: (doc_a, doc_b, jaccard_x1000). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thresholdX1000: Int = 300,
+      maxDf: Option[Long] = None): DataFrame = {
+    val shingled = shingles(docs, n, maxDf)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shingled.as("a").join(shingled.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -118,11 +139,15 @@ object TextOps {
   }
 
   /** Word n-grams as a column of space-joined shingles (pure expressions:
-    * split + transform over index range — no UDF). */
+    * split + transform over index range — no UDF). Documents with fewer
+    * than `n` words yield an empty array (unguarded, `sequence(0, -1)`
+    * would step backwards and `element_at(words, 0)` errors under ANSI). */
   def wordNgrams(text: Column, n: Int): Column = {
     val words = split(trim(text), "\\s+")
-    val idx = sequence(lit(0), greatest(size(words) - n, lit(-1)))
-    transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
+    val idx = sequence(lit(0), size(words) - n)
+    when(size(words) >= n,
+      transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** 64-bit SimHash over whitespace words, each word hashed with xxhash64;

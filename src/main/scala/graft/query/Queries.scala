@@ -44,20 +44,21 @@ object Queries {
       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS published FROM orders
       ORDER BY coalesce(published, '0000') DESC, url_key ASC LIMIT 500"""))
 
-  /** P3+P4: pagination page=3, limit=20 via row_number window
-    * (indexer.py:294-297). */
+  /** P3+P4: pagination page=3, limit=20 (indexer.py:294-297). Expressed as
+    * sort + offset + limit — Catalyst plans a TakeOrderedAndProject (each
+    * task keeps its top 60, driver merges), NOT a single-partition global
+    * row_number window: at 100 TB every row would funnel through one task. */
   private val p3Pagination = Q(
-    (s, dir) => {
-      val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
-      rd(s, dir, "orders")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn").between(41, 60))
-        .select("o_orderkey", "rn")
-        .orderBy("rn")
-    },
-    Some("""SELECT o_orderkey, rn FROM (
-      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
-      FROM orders) t WHERE rn BETWEEN 41 AND 60 ORDER BY rn"""))
+    (s, dir) => rd(s, dir, "orders")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      .offset(40).limit(20)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate FROM (
+      SELECT o_orderkey, o_orderdate FROM orders
+      ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 20 OFFSET 40) t
+      ORDER BY o_orderkey"""))
 
   /** P5+P9: sanitized case-insensitive substring search
     * (content.js:144,317-323). */
@@ -166,20 +167,19 @@ object Queries {
       FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, rn"""))
 
   /** W4: tombstone FIFO cap — newest 1000 by deleted_at
-    * (sync_utils.py:76-79). */
+    * (sync_utils.py:76-79). Top-k = sort + limit, so Catalyst plans a
+    * TakeOrderedAndProject (per-partition heap, driver merge of 1000-row
+    * heads) instead of a single-partition global window. */
   private val w4TombstoneFifo = Q(
-    (s, dir) => {
-      val w = Window.orderBy(col("ts").desc, col("event_id").asc)
-      rd(s, dir, "events")
-        .filter(col("event_type") === "error")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 1000)
-        .select("event_id")
-        .orderBy("event_id")
-    },
+    (s, dir) => rd(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .orderBy(col("ts").desc, col("event_id").asc)
+      .limit(1000)
+      .select("event_id")
+      .orderBy("event_id"),
     Some("""SELECT event_id FROM (
-      SELECT event_id, row_number() OVER (ORDER BY ts DESC, event_id ASC) AS rn
-      FROM events WHERE event_type = 'error') t WHERE rn <= 1000 ORDER BY event_id"""))
+      SELECT event_id FROM events WHERE event_type = 'error'
+      ORDER BY ts DESC, event_id ASC LIMIT 1000) t ORDER BY event_id"""))
 
   // ======================================================================
   // §2.6 aggregations  +  §2.10 sync semantics
@@ -435,17 +435,30 @@ object Queries {
     Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
+  /** df cap = max(5% of corpus, 2): boilerplate shingles shared by a large
+    * corpus fraction are what turns the shingle self-join quadratic. */
+  private def jaccardMaxDf(docs: DataFrame): Long =
+    math.max(docs.count() * 5 / 100, 2L)
+
   private val xNgramJaccard = Q(
-    (s, dir) => TextOps.ngramJaccardPairs(rd(s, dir, "documents"), n = 3,
-      thresholdX1000 = 200),
+    (s, dir) => {
+      val docs = rd(s, dir, "documents")
+      TextOps.ngramJaccardPairs(docs, n = 3, thresholdX1000 = 200,
+        maxDf = Some(jaccardMaxDf(docs)))
+    },
     Some("""WITH words AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
       ), idx AS (
         SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS i FROM words
-      ), sh AS (
+      ), sh0 AS (
         SELECT DISTINCT doc_id,
           substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16) AS sh
         FROM idx
+      ), hot AS (
+        SELECT sh FROM sh0 GROUP BY sh
+        HAVING count(*) > greatest((SELECT count(*) FROM documents) * 5 // 100, 2)
+      ), sh AS (
+        SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
       ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -462,8 +475,11 @@ object Queries {
     None) // xxhash64 not available in DuckDB; property-tested instead
 
   private val xMinHashPairs = Q(
-    (s, dir) => Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16,
-      bands = 4, minEstJaccardX1000 = 250),
+    (s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4,
+        minEstJaccardX1000 = 250, maxDf = Some(jaccardMaxDf(docs)))
+    },
     None)
 
   private val xEmbeddingTopK = Q(

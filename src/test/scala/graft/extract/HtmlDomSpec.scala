@@ -22,6 +22,16 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(d.attr("title").contains("a&b"))
   }
 
+  test("self-closing syntax on non-void elements is ignored (libxml2 parity)") {
+    // lxml/libxml2 treats <div/> as an OPEN div: following content nests
+    val doc = parse("<body><div/>inside</div><p>after</p></body>")
+    assert(doc.find("div").get.getText == "inside")
+    // but foreign content (svg) honors the flag
+    val svg = parse("<body><div><svg><rect/><circle/></svg></div><p>x</p></body>")
+    assert(svg.find("rect").get.children.isEmpty)
+    assert(svg.find("p").get.getText == "x")
+  }
+
   test("void elements don't nest") {
     val doc = parse("<p>a<br>b<img src=x>c</p>")
     assert(doc.find("p").get.getText == "abc")

@@ -238,6 +238,10 @@ class MetaExtractSpec extends AnyFunSuite {
     assert(TextUtil.parseIsoDuration("PT45S") == "45s")
     assert(TextUtil.parseIsoDuration("PT1H5M") == "1h 5 min")
     assert(TextUtil.parseIsoDuration("") == "")
+    // Python int() is arbitrary precision: a pathological 20+-digit payload
+    // must humanize, not throw NumberFormatException inside mapPartitions
+    assert(TextUtil.parseIsoDuration("PT99999999999999999999S")
+      == "99999999999999999999s")
     assert(TextUtil.parseIsoDuration("garbage") == "garbage") // unparseable → raw
     assert(TextUtil.parseIsoDuration("P0DT0H0M0S") == "P0DT0H0M0S") // all-zero → raw
   }

@@ -144,6 +144,27 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(expected.forall(e => e.blocks_kept + e.blocks_dropped >= e.blocks_kept))
   }
 
+  test("metrics stay exact when a crash lands between metrics and lineage writes") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, 25)
+    val dir = Files.createTempDirectory("graft-metrics-crash").toString
+    val cfg = ExtractJob.Config(dir, buckets = 4, groups = 2, runId = "mc")
+    ExtractJob.run(turns, cfg, stopAfterGroups = 1)
+    // simulate dying AFTER the group-0 metrics write but BEFORE lineage:
+    // wipe lineage so the resume re-runs group 0 from scratch
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lineage"), true)
+    ExtractJob.run(turns, cfg) // full re-run, including group 0 again
+    val metrics = spark.read.parquet(s"$dir/metrics")
+    // dynamic overwrite keyed by (run_id, group_id) => no duplicate rows
+    val n = metrics.count()
+    val distinct = metrics.select("run_id", "group_id", "conv_bucket").distinct().count()
+    assert(n == distinct, s"duplicate metric rows after resume: $n vs $distinct")
+    val totals = metrics.agg(sum("rows_out")).collect().head
+    assert(totals.getLong(0) == turns.count())
+  }
+
   test("per-turn recipe fixture end-to-end via Spark row") {
     val t = Turn("conv-x", 0, "user", graft.extract.Fixtures.RECIPE_HTML_SINGLE_QUOTE,
       "browser", new java.sql.Timestamp(Transcripts.EpochStart * 1000L))

@@ -72,5 +72,21 @@ class SinksSpec extends AnyFunSuite {
       Map("added" -> 1L, "updated" -> 1L))
     // token decodes back to `until`
     assert(graft.extract.SyncCodec.decodeSyncToken(token).contains(900.0))
+    // Python isoformat parity: whole-minute timestamps keep the ":00"
+    // seconds field inside the encoded payload
+    val payload = new String(java.util.Base64.getDecoder.decode(token), "UTF-8")
+    assert(payload == "{\"t\": \"1970-01-01T00:15:00+00:00\"}", payload)
+  }
+
+  test("tombstone FIFO cap plans as top-k, not a single-partition window") {
+    import spark.implicits._
+    val many = (0 until 50).map(i => (s"/p$i", ts(i))).toDF("url", "deleted_at")
+    val (_, capped) = Sinks.deleteWithTombstones(
+      Seq.empty[(String, String)].toDF("url", "title"),
+      Seq.empty[String].toDF("url"), many, ts(0), cap = 10)
+    val p = capped.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "FIFO cap must not use a global window:\n" + p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(capped.count() == 10)
   }
 }

@@ -48,6 +48,34 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getLong(2) == 1000L)
   }
 
+  test("wordNgrams: docs shorter than n yield empty shingle sets (no ANSI error)") {
+    val d = docsOf(1L -> "one two", 2L -> "", 3L -> " ",
+      4L -> "one two three four five six")
+    // none of these may throw INVALID_INDEX_OF_ZERO under Spark 4 ANSI mode
+    val pairs = TextOps.ngramJaccardPairs(d, n = 3, thresholdX1000 = 0).collect()
+    assert(pairs.isEmpty) // doc 4 is the only one with shingles
+    val sigs = Dedup.minHashSignatures(d, n = 3, k = 4).collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(4L))
+  }
+
+  test("df-capped shingles drop boilerplate from the pair join") {
+    val boiler = "subscribe to our newsletter today"
+    val d = docsOf(
+      1L -> s"alpha beta gamma delta epsilon $boiler",
+      2L -> s"alpha beta gamma delta epsilon zeta $boiler",
+      3L -> s"totally different content one $boiler",
+      4L -> s"other unrelated words entirely $boiler")
+    // uncapped: the shared boilerplate phrase links all six pairs
+    val uncapped = TextOps.ngramJaccardPairs(d, n = 3, thresholdX1000 = 1).collect()
+    assert(uncapped.length == 6)
+    // df cap 2: boilerplate shingles (df=4) drop; only the real near-dup
+    // pair (1,2) survives, with Jaccard over the retained sets (3/8)
+    val capped = TextOps.ngramJaccardPairs(d, n = 3, thresholdX1000 = 300,
+      maxDf = Some(2L)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(capped.head.getLong(2) == 375L)
+  }
+
   test("minhash LSH: identical docs are candidates with est 1000") {
     val text = "the quick brown fox jumps over the lazy dog again and again today"
     val d = docsOf(10L -> text, 20L -> text,

@@ -56,6 +56,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("pagination plans as ordered offset+limit, never a global window (p3)") {
+    val p = plan("p3_pagination")
+    assert(!p.contains("Window"), "p3 must not use a single-partition window:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("tombstone FIFO cap plans as top-k, never a global window (w4)") {
+    val p = plan("w4_tombstone_fifo")
+    assert(!p.contains("Window"), "w4 must not use a single-partition window:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("whole-stage codegen spans the relational surface (q1)") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect() // AQE finalizes the plan on execution

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection (shingle → minhash → band →
@@ -16,12 +16,20 @@ object Dedup {
     * inflate similarity of unrelated docs — dropping them is the standard
     * web-scale setup; see TextOps.shingles). */
   def minHashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None, portable: Boolean = false): DataFrame = {
     val shingled = TextOps.shingles(docs, n, maxDf)
-    val mins = (0 until k).map(j =>
-      min(xxhash64(col("sh"), lit(j))).as(s"mh$j"))
+    val mins = (0 until k).map(j => min(perm(j, portable)).as(s"mh$j"))
     shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
+
+  /** j-th permutation hash of a shingle hash. Production: xxhash64(sh, j).
+    * Portable: 60-bit md5 prefix of "j:sh" — bit-identical in DuckDB
+    * (`('0x'||substr(md5(j||':'||sh),1,15))::BIGINT`), used so the whole
+    * minhash pipeline can be oracle-checked. */
+  private def perm(j: Int, portable: Boolean): Column =
+    if (portable)
+      conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 15), 16, 10).cast("long")
+    else xxhash64(col("sh"), lit(j))
 
   /** LSH banding: `bands` bands of `k/bands` rows each; two docs are
     * candidates if any band agrees fully. Returns exact-verified pairs with
@@ -34,17 +42,21 @@ object Dedup {
     * persisted (doc_id + k longs ≈ 140 B/doc — disk-spillable, tiny next
     * to the corpus) so shingling runs once, not three times. */
   def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-      minEstJaccardX1000: Int = 500, maxDf: Option[Long] = None): DataFrame = {
+      minEstJaccardX1000: Int = 500, maxDf: Option[Long] = None,
+      portable: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = minHashSignatures(docs, n, k, maxDf)
+    val sigs = minHashSignatures(docs, n, k, maxDf, portable)
       .select(col("doc_id"), array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandKey(b: Int): Column = {
+      val parts = (b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1))
+      if (portable) substring(md5(concat_ws(",", parts: _*)), 1, 16)
+      else xxhash64(parts: _*).cast("string")
+    }
     val banded = sigs.select(col("doc_id"),
         explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * r until (b + 1) * r).map(j =>
-              element_at(col("sig"), j + 1)): _*).as("key"))): _*)).as("bk"))
+          struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

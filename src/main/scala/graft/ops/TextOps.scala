@@ -166,6 +166,31 @@ object TextOps {
     agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
   }
 
+  /** Portable SimHash: identical to [[simHash]] in structure but the word
+    * hash is two 32-bit halves of md5 instead of xxhash64, so the whole
+    * computation is reproducible in any SQL engine (DuckDB oracle).
+    * Production path stays [[simHash]] (xxhash64 is ~4× cheaper); this
+    * variant is the correctness gate. Output: (doc_id, sim_hi, sim_lo),
+    * each half in [0, 2^32). */
+  def simHashPortable(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("h2"))
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h1"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"hi$b")
+    } ++ (0 until 32).map { b =>
+      sum(when(shiftright(col("h2"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"lo$b")
+    }
+    val agg = words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    def fold(prefix: String): Column = (0 until 32).map { b =>
+      when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), fold("hi").as("sim_hi"), fold("lo").as("sim_lo"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup candidates: pairs within `maxHamming` bits, using
     * 4×16-bit band blocking (exact for maxHamming ≤ 3 by pigeonhole). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {

@@ -34,8 +34,9 @@ object VectorOps {
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `p`, dim `d`.
-    * Same closed form is reproducible in any engine. */
-  private def planeComponent(p: Int, d: Int): Double = {
+    * Same closed form is reproducible in any engine (public so the oracle
+    * SQL generator can inline the identical constants). */
+  def planeComponent(p: Int, d: Int): Double = {
     var h = (p * 131071L + d * 524287L + 12345L)
     h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
     ((h & 0xFFFFL).toDouble / 65535.0) - 0.5
@@ -93,9 +94,14 @@ object VectorOps {
       nCells: Int = 16, nProbe: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
     val centroids = deterministicCentroids(nCells, dim)
+    // double-precision accumulation, matching the SQL/expression cosine
+    // bit-for-bit so probe-cell selection agrees with the oracle
     def cosLocal(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val probeCells = centroids.zipWithIndex

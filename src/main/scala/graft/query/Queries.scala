@@ -470,17 +470,79 @@ object Queries {
       WHERE inter * 1000 // (sa.n_sh + sb.n_sh - inter) >= 200
       ORDER BY doc_a, doc_b"""))
 
+  /** Portable variant (md5-derived word hashes) so the whole simhash
+    * computation has a DuckDB oracle; the xxhash64 production path is
+    * property-tested in OpsSpec. */
   private val xSimHash = Q(
-    (s, dir) => TextOps.simHash(rd(s, dir, "documents")),
-    None) // xxhash64 not available in DuckDB; property-tested instead
+    (s, dir) => TextOps.simHashPortable(rd(s, dir, "documents")),
+    Some {
+      def votes(h: String, prefix: String) = (0 until 32).map(b =>
+        s"sum(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS $prefix$b").mkString(",\n        ")
+      def fold(prefix: String) = (0 until 32).map(b =>
+        s"(CASE WHEN $prefix$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS h2 FROM words
+      ), v AS (
+        SELECT doc_id,
+        ${votes("h1", "hi")},
+        ${votes("h2", "lo")}
+        FROM h GROUP BY doc_id
+      )
+      SELECT doc_id, ${fold("hi")} AS sim_hi, ${fold("lo")} AS sim_lo
+      FROM v ORDER BY doc_id"""
+    })
 
+  /** Portable minhash (md5-based permutation hashes + md5 band keys) for
+    * the oracle; the xxhash64 production path is exercised in OpsSpec. */
   private val xMinHashPairs = Q(
     (s, dir) => {
       val docs = rd(s, dir, "documents")
       Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4,
-        minEstJaccardX1000 = 250, maxDf = Some(jaccardMaxDf(docs)))
+        minEstJaccardX1000 = 250, maxDf = Some(jaccardMaxDf(docs)), portable = true)
     },
-    None)
+    Some {
+      val k = 16; val bands = 4; val r = k / bands
+      val mins = (0 until k).map(j =>
+        s"min(('0x' || substr(md5('$j:' || sh), 1, 15))::BIGINT) AS mh$j").mkString(",\n          ")
+      val bandRows = (0 until bands).map { b =>
+        val parts = (b * r until (b + 1) * r).map(j => s"mh$j").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, substr(md5($parts), 1, 16) AS key FROM sigs"
+      }.mkString("\n        UNION ALL ")
+      val agree = (0 until k).map(j =>
+        s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents
+      ), idx AS (
+        SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS i FROM words
+      ), sh0 AS (
+        SELECT DISTINCT doc_id,
+          substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16) AS sh
+        FROM idx
+      ), hot AS (
+        SELECT sh FROM sh0 GROUP BY sh
+        HAVING count(*) > greatest((SELECT count(*) FROM documents) * 5 // 100, 2)
+      ), shc AS (
+        SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
+      ), sigs AS (
+        SELECT doc_id,
+          $mins
+        FROM shc GROUP BY doc_id
+      ), banded AS (
+        $bandRows
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b, ($agree) * 1000 // $k AS est_jaccard_x1000
+      FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+      WHERE ($agree) * 1000 // $k >= 250
+      ORDER BY doc_a, doc_b"""
+    })
 
   private val xEmbeddingTopK = Q(
     (s, dir) => {
@@ -494,6 +556,19 @@ object Queries {
       FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
       WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id ASC LIMIT 20"""))
 
+  /** Explicit left-associated dot-product SQL: `v[1]*(c0) + v[2]*(c1) + …`
+    * — the exact same IEEE operation sequence as VectorOps.dot's
+    * sequential fold, so sign tests (LSH plane side) match bit-for-bit. */
+  private def dotSql(vec: String, cs: Array[Double]): String =
+    cs.zipWithIndex.map { case (c, i) => s"$vec[${i + 1}]*($c)" }.mkString(" + ")
+
+  /** LSH signature SQL over `nPlanes` deterministic hyperplanes. */
+  private def lshSigSql(vec: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val plane = Array.tabulate(dim)(d => VectorOps.planeComponent(p, d))
+      s"(CASE WHEN ${dotSql(vec, plane)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n          + ")
+
   private val xEmbeddingLsh = Q(
     (s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -502,12 +577,38 @@ object Queries {
       VectorOps.lshTopK(emb, dim = 64, q, k = 20, nPlanes = 8, probeBits = 3,
         excludeId = Some(0L))
     },
-    None) // recall vs brute force asserted in ScalaTest
+    Some {
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      sig AS (
+        SELECT vec_id, label, embedding,
+          ${lshSigSql("embedding", 64, 8)} AS lsh_sig
+        FROM embeddings
+      ), qsig AS (
+        SELECT ${lshSigSql("embedding", 64, 8)} AS s FROM q
+      )
+      SELECT e.vec_id, e.label,
+        round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+      FROM sig e, q, qsig
+      WHERE e.vec_id <> 0 AND bit_count(xor(e.lsh_sig, qsig.s)) <= 3
+      ORDER BY cos DESC, e.vec_id ASC LIMIT 20"""
+    })
 
   private val xEmbeddingNearDup = Q(
     (s, dir) => Dedup.embeddingNearDups(rd(s, dir, "embeddings"), dim = 64,
       thresholdX10000 = 3500, nPlanes = 6),
-    None)
+    Some {
+      s"""WITH sig AS (
+        SELECT vec_id, embedding, ${lshSigSql("embedding", 64, 6)} AS lsh_sig
+        FROM embeddings
+      )
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000)
+          AS BIGINT) AS cos_x10000
+      FROM sig a JOIN sig b ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
+      WHERE CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000)
+          AS BIGINT) >= 3500
+      ORDER BY vec_a, vec_b"""
+    })
 
   private val xEmbeddingIvf = Q(
     (s, dir) => {
@@ -517,7 +618,33 @@ object Queries {
       VectorOps.ivfTopK(emb, dim = 64, q, k = 20, nCells = 16, nProbe = 6,
         excludeId = Some(0L))
     },
-    None) // recall vs brute force asserted in ScalaTest
+    Some {
+      val cents = VectorOps.deterministicCentroids(16, 64)
+      val cellRows = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(_.toDouble.toString).mkString(",")}]::DOUBLE[])"
+      }.mkString(",\n        ")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      cells(cell, cvec) AS (VALUES
+        $cellRows
+      ),
+      probe AS (
+        SELECT c.cell FROM cells c, q
+        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec) DESC, c.cell ASC
+        LIMIT 6
+      ),
+      assigned AS (
+        SELECT e.vec_id, e.label, e.embedding,
+          (SELECT c.cell FROM cells c
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cell DESC
+           LIMIT 1) AS cell
+        FROM embeddings e
+      )
+      SELECT a.vec_id, a.label,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+      FROM assigned a, q
+      WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+      ORDER BY cos DESC, a.vec_id ASC LIMIT 20"""
+    })
 
   /** P11: url_filter — restrict lookup to one page (indexer.py:193). */
   private val p11SinglePage = Q(
@@ -595,6 +722,56 @@ object Queries {
       'en' AS language
       FROM documents ORDER BY doc_id"""))
 
+  /** Markup-path extraction oracle: a generated HTML page per document
+    * whose extraction output is exactly predictable in SQL. Exercises (and
+    * gates, via DuckDB) the parts the plain-text oracle can't reach:
+    * E2 strip-tags (`<nav>` removed), E3 noise-class removal
+    * (`class="sidebar"` paragraph removed), E4 main-root selection
+    * (`<article>`), E6 block typing + in-page dedup (the duplicated
+    * paragraph emits once), code whitespace preservation, E10 h1-wins
+    * title, E11 `<html lang>` language, E9 paragraph summary. */
+  private val eExtractHtmlOracle = Q(
+    (s, dir) => {
+      import s.implicits._
+      val html = concat(
+        lit("<html lang=\"fr-CA\"><head><title>Ignored</title></head><body>" +
+          "<nav><p>Home About Contact Products Blog Archive</p></nav>" +
+          "<article><h1>Heading "),
+        col("doc_id"),
+        lit(" for the oracle</h1>" +
+          "<p class=\"sidebar\">Sponsored related links everywhere today</p><p>"),
+        col("text"), lit("</p><p>"), col("text"),
+        lit("</p><pre>\ndef f_"), col("doc_id"),
+        lit("(x):\n    return x + "), col("doc_id"),
+        lit("</pre></article></body></html>"))
+      val turns = rd(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("conv_id"), lit(0).as("turn_idx"),
+          lit("assistant").as("role"), html.as("text"), lit("").as("tool"),
+          lit(new java.sql.Timestamp(Transcripts.EpochStart * 1000L)).as("ts"))
+        .as[graft.model.Turn]
+      ExtractJob.extract(turns).toDF()
+        .select(col("conv_id").cast("long").as("doc_id"), col("title"),
+          col("language"), col("n_chunks"),
+          element_at(col("chunks"), 1).getField("text").as("c1_text"),
+          element_at(col("chunks"), 1).getField("chunk_type").as("c1_type"),
+          element_at(col("chunks"), 2).getField("text").as("c2_text"),
+          element_at(col("chunks"), 2).getField("chunk_type").as("c2_type"),
+          element_at(col("chunks"), 3).getField("text").as("c3_text"),
+          element_at(col("chunks"), 3).getField("chunk_type").as("c3_type"),
+          col("summary"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      'Heading ' || doc_id || ' for the oracle' AS title,
+      'fr-CA' AS language,
+      3 AS n_chunks,
+      'Heading ' || doc_id || ' for the oracle' AS c1_text, 'heading' AS c1_type,
+      regexp_replace(trim(text), '\s+', ' ', 'g') AS c2_text, 'paragraph' AS c2_type,
+      'def f_' || doc_id || '(x):' || chr(10) || '    return x + ' || doc_id AS c3_text,
+      'code' AS c3_type,
+      substr(regexp_replace(trim(text), '\s+', ' ', 'g'), 1, 500) AS summary
+      FROM documents ORDER BY doc_id"""))
+
   private val vValidate = Q(
     (s, dir) => {
       val turns = Transcripts.generate(s, nConvs = 200)
@@ -617,6 +794,40 @@ object Queries {
         .orderBy("conv_id", "turn_idx", "chunk_id")
     },
     None)
+
+  /** Adapter 500-word chunker over plain-text documents — every stage
+    * (clean, paragraph pack, md5 id scheme, type detection, summarise) is
+    * exactly predictable in SQL for single-paragraph inputs, giving the
+    * C1-C7 chunker a DuckDB gate alongside the rows-only fixture run. */
+  private val eAdapterDocsOracle = Q(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      rd(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val chunks = graft.extract.AdapterChunker.chunkContent(text, s"$id#0")
+          chunks.map(c => (id, c.id, c.chunkType, c.text,
+            graft.extract.AdapterChunker.summarise(text)))
+        }
+        .toDF("doc_id", "chunk_id", "chunk_type", "text", "summary")
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH c AS (
+        SELECT doc_id, trim(regexp_replace(text, '[ \t]+', ' ', 'g')) AS cleaned
+        FROM documents
+      ), w AS (
+        SELECT doc_id, cleaned,
+          regexp_split_to_array(cleaned, '\s+') AS ws
+        FROM c
+      )
+      SELECT doc_id,
+        md5(doc_id || '#0') || '_0' AS chunk_id,
+        CASE WHEN len(ws) < 15 THEN 'heading' ELSE 'paragraph' END AS chunk_type,
+        cleaned AS text,
+        CASE WHEN len(ws) <= 40 THEN cleaned
+             ELSE array_to_string(ws[1:40], ' ') || '...' END AS summary
+      FROM w ORDER BY doc_id, chunk_id"""))
 
   /** Full registry, insertion-ordered. */
   val registry: Vector[(String, Q)] = Vector(
@@ -662,7 +873,9 @@ object Queries {
     "e_extract_turns" -> eExtractTurns,
     "e_extract_chunks" -> eExtractChunks,
     "e_extract_docs_oracle" -> eExtractDocsOracle,
+    "e_extract_html_oracle" -> eExtractHtmlOracle,
     "e_adapter_chunks" -> eAdapterChunks,
+    "e_adapter_docs_oracle" -> eAdapterDocsOracle,
     "v_validate" -> vValidate,
   )
 }

@@ -104,6 +104,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
 
+  test("portable simhash/minhash agree with the fast path's structure") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docsOf(10L -> text, 20L -> text,
+      30L -> "unrelated content about spark shuffle partitions and codegen stages")
+    // portable simhash: identical docs get identical (hi, lo) halves in [0, 2^32)
+    val sh = TextOps.simHashPortable(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sh(10L) == sh(20L))
+    assert(sh.values.forall { case (hi, lo) =>
+      hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32) })
+    // portable minhash finds the identical pair with est 1000, like fast mode
+    val pairs = Dedup.minHashPairs(d, n = 3, k = 16, bands = 4,
+      minEstJaccardX1000 = 500, portable = true).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
+    assert(pairs.head.getLong(2) == 1000L)
+  }
+
   test("cosineTopK: hand-computed ordering") {
     val s = spark; import s.implicits._
     val df = Seq(

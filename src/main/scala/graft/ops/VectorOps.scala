@@ -33,6 +33,84 @@ object VectorOps {
       .limit(k)
   }
 
+  // --------------------------------------------------------------------
+  // Text → vector featurizer (hashing trick), deterministic + portable.
+  // The reference's flagship `?q=` path embeds query + chunks with a model
+  // (`/root/reference/sidecar/indexer.py:180-220`); offline we substitute a
+  // seed-free hashed n-gram projection with the same pipeline shape:
+  // embed(text) → score(query, doc) → min_score filter → top-k → meta join.
+  // --------------------------------------------------------------------
+
+  /** Sparse hashed word features: one row per (doc_id, bucket) with an
+    * integer weight (signed counts — the hashing-trick sign bit keeps the
+    * expectation of dot products unbiased). Pure expressions; md5-based so
+    * DuckDB reproduces it bit-for-bit. Scale shape: only (doc_id, bucket,
+    * wgt) triples shuffle — never text — and the aggregate is map-side
+    * combinable. */
+  def hashedFeatures(docs: DataFrame, dim: Int): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val h = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    words.select(col("doc_id"), pmod(h, lit(dim)).as("bucket"),
+        when(shiftright(h, 8).bitwiseAND(1) === 1, 1L).otherwise(-1L).as("s"))
+      .groupBy("doc_id", "bucket").agg(sum("s").as("wgt"))
+      .filter(col("wgt") =!= 0) // zero weights contribute nothing to dot or norm
+  }
+
+  /** Dense variant of [[hashedFeatures]] — an `array<double>` embedding
+    * column usable by [[lshSignature]]/[[ivfAssign]] for the ANN scale
+    * path. */
+  def hashedDense(docs: DataFrame, dim: Int): DataFrame =
+    hashedFeatures(docs, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("wgt")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double"))
+          .as("embedding"))
+
+  /** Driver-side featurization of a query string — EXACTLY the semantics of
+    * [[hashedFeatures]] (lower, trim, \s+ split, md5-prefix hash) so
+    * query and corpus live in the same space. */
+  def featurizeLocal(text: String, dim: Int): Map[Int, Long] = {
+    val words = text.toLowerCase.trim.split("\\s+")
+    words.foldLeft(Map.empty[Int, Long].withDefaultValue(0L)) { (m, w) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      val b = (h % dim).toInt
+      m.updated(b, m(b) + (if (((h >> 8) & 1) == 1) 1L else -1L))
+    }.filter(_._2 != 0L)
+  }
+
+  /** End-to-end semantic search: embed the query (hashing trick), cosine
+    * against hashed doc features, min_score filter, top-k, then join the
+    * page meta — the reference's search pipeline shape
+    * (`/root/reference/sidecar/main.py:501-591`). All-integer dot/norms so
+    * the score is engine-portable; top-k runs BEFORE the meta join so the
+    * k-row side broadcasts (J1 shape). */
+  def searchTopK(docs: DataFrame, query: String, dim: Int = 64, k: Int = 20,
+      minScoreX10000: Int = 0): DataFrame = {
+    val qw = featurizeLocal(query, dim)
+    require(qw.nonEmpty, "query has no features")
+    val qn2 = qw.values.map(v => v * v).sum.toDouble
+    val qwMap = typedlit(qw.map { case (b, w) => (b.toLong, w) })
+    val scored = hashedFeatures(docs.select("doc_id", "text"), dim)
+      .withColumn("qw", coalesce(element_at(qwMap, col("bucket")), lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum(col("wgt") * col("qw")).as("dot"),
+        sum(col("wgt") * col("wgt")).as("na2"))
+      .withColumn("score_x10000",
+        round(col("dot") / (sqrt(col("na2")) * sqrt(lit(qn2))) * 10000).cast("long"))
+      .filter(col("score_x10000") >= minScoreX10000)
+      .select("doc_id", "score_x10000")
+      .orderBy(desc("score_x10000"), asc("doc_id"))
+      .limit(k)
+    docs.drop("text").join(broadcast(scored), Seq("doc_id"))
+      .orderBy(desc("score_x10000"), asc("doc_id"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `p`, dim `d`.
     * Same closed form is reproducible in any engine (public so the oracle
     * SQL generator can inline the identical constants). */

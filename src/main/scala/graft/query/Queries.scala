@@ -646,6 +646,48 @@ object Queries {
       ORDER BY cos DESC, a.vec_id ASC LIMIT 20"""
     })
 
+  private val searchQueryText = "spark merge hash table scan"
+
+  /** Flagship end-to-end search: hashing-trick embed of the query string →
+    * cosine vs hashed doc features → min_score → top-k → page-meta join
+    * (the reference's `?q=` pipeline shape, main.py:501-591). All-integer
+    * dot/norms make the score bit-portable to DuckDB. */
+  private val xSearchEndToEnd = Q(
+    (s, dir) => VectorOps.searchTopK(rd(s, dir, "documents"), searchQueryText,
+      dim = 64, k = 25, minScoreX10000 = 500),
+    Some {
+      val dim = 64
+      val qw = VectorOps.featurizeLocal(searchQueryText, dim)
+      val qn2 = qw.values.map(v => v * v).sum
+      val qwRows = qw.toSeq.sortBy(_._1)
+        .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+      s"""WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words
+      ), f AS (
+        SELECT doc_id, h % $dim AS bucket,
+          CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END AS s FROM h
+      ), feats AS (
+        SELECT doc_id, bucket, sum(s) AS wgt FROM f GROUP BY 1, 2
+        HAVING sum(s) <> 0
+      ), qw(bucket, w) AS (VALUES $qwRows),
+      scored AS (
+        SELECT f.doc_id,
+          CAST(round(sum(f.wgt * coalesce(q.w, 0))
+            / (sqrt(sum(f.wgt * f.wgt)) * sqrt($qn2)) * 10000) AS BIGINT) AS score_x10000
+        FROM feats f LEFT JOIN qw q ON f.bucket = q.bucket
+        GROUP BY f.doc_id
+      ), topk AS (
+        SELECT * FROM scored WHERE score_x10000 >= 500
+        ORDER BY score_x10000 DESC, doc_id ASC LIMIT 25
+      )
+      SELECT t.doc_id, d.lang, d.source, d.n_chars, t.score_x10000
+      FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+      ORDER BY t.score_x10000 DESC, t.doc_id"""
+    })
+
   /** P11: url_filter — restrict lookup to one page (indexer.py:193). */
   private val p11SinglePage = Q(
     (s, dir) => rd(s, dir, "documents")
@@ -865,6 +907,7 @@ object Queries {
     "x_simhash" -> xSimHash,
     "x_minhash_pairs" -> xMinHashPairs,
     "x_embedding_topk" -> xEmbeddingTopK,
+    "x_search_end_to_end" -> xSearchEndToEnd,
     "x_embedding_lsh" -> xEmbeddingLsh,
     "x_embedding_ivf" -> xEmbeddingIvf,
     "p11_single_page" -> p11SinglePage,

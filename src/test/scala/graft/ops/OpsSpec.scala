@@ -121,6 +121,35 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getLong(2) == 1000L)
   }
 
+  test("hashed featurizer: query matches its own text with score 10000") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "spark merge hash table scan", "en", "src0", 27L),
+      (2L, "completely unrelated prose about gardening and flowers", "en", "src1", 54L),
+      (3L, "spark hash table merge scan extras appended here", "en", "src2", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = VectorOps.searchTopK(d, "spark merge hash table scan",
+      dim = 64, k = 3, minScoreX10000 = 0).collect()
+    // doc 1 IS the query (word-order invariant) => cosine exactly 1
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getLong(4) == 10000L)
+    // doc 3 shares all query words => ranks right behind the exact match;
+    // unrelated doc 2 either scores below it or is cut by the min_score 0
+    // filter (signed hashing can go negative)
+    val ranks = out.map(_.getLong(0)).toSeq
+    assert(ranks.take(2) == Seq(1L, 3L))
+  }
+
+  test("hashedDense feeds the ANN path: identical text => identical vector") {
+    val d = docsOf(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "something else entirely")
+    val vecs = VectorOps.hashedDense(d, dim = 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs(1L) == vecs(2L))
+    assert(vecs(1L) != vecs(3L))
+    assert(vecs(1L).length == 32)
+  }
+
   test("cosineTopK: hand-computed ordering") {
     val s = spark; import s.implicits._
     val df = Seq(

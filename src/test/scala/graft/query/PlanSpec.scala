@@ -68,6 +68,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("search meta join broadcasts the top-k side (x_search_end_to_end)") {
+    val p = plan("x_search_end_to_end")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("whole-stage codegen spans the relational surface (q1)") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect() // AQE finalizes the plan on execution

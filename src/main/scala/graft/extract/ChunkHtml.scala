@@ -50,7 +50,7 @@ object ChunkHtml {
   }
 
   /** Python code-point slice `s[:n]`. */
-  private def cpTake(s: String, n: Int): String =
+  private[extract] def cpTake(s: String, n: Int): String =
     if (s.codePointCount(0, s.length) <= n) s
     else s.substring(0, s.offsetByCodePoints(0, n))
 

@@ -77,9 +77,42 @@ object ExtractJob {
   private def optStr(v: graft.extract.JVal): Option[String] =
     v match { case JNull => None; case other => Some(other.pyStr) }
 
-  /** One turn through the reference pipeline. Deterministic: `updated`
+  /** One turn through the reference pipeline, dispatched on the `tool`
+    * column (SURVEY §1.3): `render`/`pdf` payloads take the raw-fallback
+    * flatten-to-spans path with the 50 KB cap
+    * (`/root/reference/mcp/src/tools/smart-fetch.ts:75-87`); everything
+    * else takes the full HTML extraction path. Deterministic: `updated`
     * pinned to the turn's `ts` (chunker.py:733 uses wall-clock; we do not). */
-  def extractOne(t: Turn): ExtractedTurn = {
+  def extractOne(t: Turn): ExtractedTurn = t.tool match {
+    case "render" | "pdf" => extractRawFallback(t)
+    case _ => extractHtmlTurn(t)
+  }
+
+  /** tool=render/pdf: 50 KB cap + flatten-to-spans (see [[SpanFlatten]]).
+    * No metadata chain — the reference's fallback returns the raw body. */
+  private def extractRawFallback(t: Turn): ExtractedTurn = {
+    val url = s"${t.conv_id}#${t.turn_idx}"
+    val iso = isoFmt.format(t.ts.toInstant)
+    val fl = graft.extract.SpanFlatten.flatten(t.text)
+    val chunks = fl.chunks.zipWithIndex.map { case (c, i) =>
+      ChunkOut(sha256Hex(s"$url::chunk::$i").take(16), i, c.text, c.chunkType)
+    }
+    val meta = MetadataOut(None, None, None, None, None, Vector.empty, None,
+      meta_type = "raw", schema_type = None, extra = Map.empty)
+    val bytesOut = chunks.map(c => utf8Len(c.text)).sum + utf8Len(fl.summary)
+    ExtractedTurn(
+      conv_id = t.conv_id, turn_idx = t.turn_idx, turn_pos = 0L,
+      url = url, page_id = sha256Hex(s"page::$url").take(16),
+      role = t.role, tool = t.tool, ts = t.ts,
+      title = "", author = None, published = None,
+      updated = iso, language = "en",
+      summary = fl.summary, chunks = chunks, metadata = meta,
+      n_chunks = chunks.length,
+      bytes_in = utf8Len(t.text), bytes_out = bytesOut,
+      blocks_kept = fl.spansKept, blocks_dropped = fl.spansDropped)
+  }
+
+  private def extractHtmlTurn(t: Turn): ExtractedTurn = {
     val url = s"${t.conv_id}#${t.turn_idx}"
     val iso = isoFmt.format(t.ts.toInstant)
     val ex = ChunkHtml.extract(url, t.text, Some(iso))

@@ -35,14 +35,54 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(local.nonEmpty)
     local.foreach { t =>
       val e = got((t.conv_id, t.turn_idx))
-      val page = ChunkHtml(s"${t.conv_id}#${t.turn_idx}", t.text).chunks
+      // tool-dispatched local reference: render/pdf -> raw-fallback spans,
+      // everything else -> full HTML pipeline
+      val expected = t.tool match {
+        case "render" | "pdf" =>
+          graft.extract.SpanFlatten.flatten(t.text).chunks
+            .map(c => (c.text, c.chunkType))
+        case _ =>
+          ChunkHtml(s"${t.conv_id}#${t.turn_idx}", t.text).chunks
+            .map(c => (c.text, c.chunkType))
+      }
       // per-turn text equality under stable chunk order (the north rule)
-      assert(e.chunks.map(c => (c.text, c.chunk_type)) ==
-        page.map(c => (c.text, c.chunkType)),
+      assert(e.chunks.map(c => (c.text, c.chunk_type)) == expected,
         s"turn ${t.conv_id}#${t.turn_idx} diverged")
       assert(e.chunks.map(_.chunk_index) == e.chunks.indices.map(identity))
       assert(e.n_chunks == e.chunks.length)
     }
+  }
+
+  test("tool dispatch: render/pdf flatten to spans with the 50 KB cap") {
+    val ts0 = new java.sql.Timestamp(Transcripts.EpochStart * 1000L)
+    // HTML payload through the render path: tags stripped, spans emitted,
+    // no metadata chain, no 20-char minimum
+    val html = "<html><body><h1>Title here</h1><p>First paragraph body.</p>\n\n" +
+      "<p>Second paragraph body.</p></body></html>"
+    val r = ExtractJob.extractOne(Turn("c", 0, "tool", html, "render", ts0))
+    assert(r.chunks.nonEmpty && r.chunks.forall(_.chunk_type == "span"))
+    assert(r.title == "" && r.metadata.meta_type == "raw")
+    // same payload through the default path produces typed HTML chunks
+    val h = ExtractJob.extractOne(Turn("c", 0, "tool", html, "browser", ts0))
+    assert(h.chunks.map(_.chunk_type).contains("paragraph"))
+    assert(h.title == "Title here")
+
+    // pdf routes like render
+    val p = ExtractJob.extractOne(Turn("c", 1, "tool", "plain text span", "pdf", ts0))
+    assert(p.chunks.map(_.text) == Seq("plain text span"))
+    assert(p.chunks.head.chunk_type == "span")
+    assert(p.summary == "plain text span")
+
+    // 50 KB cap: a 60k-char payload is truncated at exactly 50,000 UTF-16
+    // units before flattening (JS resp.text.slice(0, 50_000) parity)
+    val big = "x" * 60000
+    val capped = ExtractJob.extractOne(Turn("c", 2, "tool", big, "render", ts0))
+    assert(capped.chunks.map(_.text.length).sum == 50000)
+    // and long flattened text still repacks at the 1500-char chunk budget
+    val sentences = ("Sentence number one ends here. " * 200).trim
+    val packed = ExtractJob.extractOne(Turn("c", 3, "tool", sentences, "render", ts0))
+    assert(packed.chunks.length > 1)
+    assert(packed.chunks.forall(c => c.text.length <= 1500))
   }
 
   test("withTurnPos assigns contiguous 1-based positions per conversation") {

@@ -5,14 +5,17 @@ package graft.extract
   * The reference pipeline parses HTML with BeautifulSoup+lxml
   * (`/root/reference/sidecar/chunker.py:543,631`), which decodes character
   * references in text nodes and attribute values. We reproduce that with the
-  * HTML4 named-entity set plus numeric references (decimal and hex). Named
+  * FULL HTML5 named-entity table ([[Html5Entities]], 2125 names from the
+  * published W3C list) plus numeric references (decimal and hex). Named
   * references require a terminating semicolon (libxml2 behavior); numeric
   * references are decoded with or without it, matching lenient parsers.
   */
 object HtmlEntities {
 
-  /** HTML4 named entities (superset of what libxml2 resolves by default). */
-  private val named: Map[String, String] = Map(
+  private val named: Map[String, String] = Html5Entities.table
+
+  /** Legacy HTML4 subset kept for the entity-table regression test. */
+  private[extract] val html4Subset: Map[String, String] = Map(
     // XML / basic
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     // Latin-1

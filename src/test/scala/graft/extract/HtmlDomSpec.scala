@@ -44,6 +44,23 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(doc.find("p").get.getText == "keep")
   }
 
+  test("full HTML5 entity table: 2125 names, HTML4 subset intact, long tail works") {
+    assert(graft.extract.Html5Entities.table.size == 2125)
+    // superset property: every legacy HTML4 entity resolves to the same value
+    graft.extract.HtmlEntities.html4Subset.foreach { case (n, v) =>
+      assert(graft.extract.HtmlEntities.decode(s"&$n;") == v, s"&$n; diverged")
+    }
+    // HTML5-only long tail
+    assert(graft.extract.HtmlEntities.decode("&CounterClockwiseContourIntegral;") == "∳")
+    assert(graft.extract.HtmlEntities.decode("&fjlig;") == "fj") // multi-char value
+    assert(graft.extract.HtmlEntities.decode("&Afr;") == new String(Character.toChars(0x1D504)))
+    assert(graft.extract.HtmlEntities.decode("&ThickSpace;") == "  ")
+    assert(graft.extract.HtmlEntities.decode("&nleqslant;") == "⩽̸")
+    // still strict about the semicolon and unknown names
+    assert(graft.extract.HtmlEntities.decode("&fjlig x") == "&fjlig x")
+    assert(graft.extract.HtmlEntities.decode("&notarealentity;") == "&notarealentity;")
+  }
+
   test("comments and doctype are dropped") {
     val doc = parse("<!DOCTYPE html><!-- c --><html><body><p>x<!-- inner -->y</p></body></html>")
     assert(doc.find("p").get.getText == "xy")

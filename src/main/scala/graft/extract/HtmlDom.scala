@@ -19,6 +19,15 @@ import scala.collection.mutable
   *    raw-text handling of `script`/`style`, entity decoding in text and
   *    attribute values, lowercased tag and attribute names.
   *
+  * Tag-soup recovery note: libxml2 (the reference's actual parser) does NOT
+  * implement the WHATWG adoption-agency algorithm or table foster-parenting
+  * — those are HTML5 tree-builder (html5lib) behaviors. libxml2's recovery
+  * is close-to-the-matching-open-tag plus implied end tags, which is what
+  * `closeTag`/`impliedClose` below reproduce: mis-nested formatting keeps
+  * every character in document order, and stray table text stays inside the
+  * table (HtmlDomSpec pins both). get_text()-level parity with the
+  * reference therefore holds on such soup.
+  *
   * Zero external dependencies; one parser invocation allocates only the node
   * tree (reused regex machinery is static). Designed to be called from typed
   * `mapPartitions` so JIT-compiled code is shared across a partition.

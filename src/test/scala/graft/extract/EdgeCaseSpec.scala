@@ -26,6 +26,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       Chunk("Body paragraph long enough to produce a chunk here.", "paragraph")))
   }
 
+  test("tag-soup page extracts with document-order text intact") {
+    // mis-nested formatting + stray table text + unmatched closes: the
+    // libxml2-style recovery (close-to-matching-open, no adoption agency,
+    // no foster parenting) keeps every character in document order, so the
+    // paragraph chunk text is exactly the cleaned source text.
+    val html =
+      """<html><body>
+        |<p>alpha <b>bold run <i>both styles</b> italic tail</i> and the ending</p>
+        |<table><tr><td>cell one</td></tr>stray<tr><td>cell two</td></tr></table>
+        |<p>second paragraph long enough</em></strong> to emit a chunk</p>
+        |</body></html>""".stripMargin
+    val p = page(html)
+    assert(p.chunks == Vector(
+      Chunk("alpha bold run both styles italic tail and the ending", "paragraph"),
+      Chunk("second paragraph long enough to emit a chunk", "paragraph")))
+  }
+
   test("main inside a noise div is decomposed; root falls back to body") {
     // strip (:650-654) runs before root selection (:657-659)
     val html =

@@ -115,6 +115,33 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(doc.find("div").get.getText == "b")
   }
 
+  test("tag soup: mis-nested formatting closes to the matching open (libxml2, no adoption agency)") {
+    // libxml2's htmlParseEndTag pops the stack to the matching open tag,
+    // closing everything above it; it does NOT re-open formatting elements
+    // the way the HTML5 adoption-agency algorithm (html5lib) does. The
+    // reference parses with lxml=libxml2, so </b> here closes both i and b,
+    // the italic tail lands in p, and the stray </i> is ignored.
+    val doc = parse("<body><p>alpha <b>bold <i>both</b> tail</i> end</p></body>")
+    val p = doc.find("p").get
+    assert(p.getText == "alpha bold both tail end") // document order preserved
+    val b = doc.find("b").get
+    assert(b.getText == "bold both") // tail is OUTSIDE b
+    assert(doc.find("i").get.parent.name == "b")
+  }
+
+  test("tag soup: table character data stays in place (libxml2, no foster parenting)") {
+    // HTML5 tree builders move ('foster-parent') stray table text before
+    // the table; libxml2 keeps it where it appears, so document-order text
+    // is unchanged. The north rule's per-turn text equality rides on this.
+    val doc = parse("<body><table><tr><td>cell one</td></tr>stray text" +
+      "<tr><td>cell two</td></tr></table></body>")
+    assert(doc.find("table").get.getText == "cell onestray textcell two")
+    // implied end tags inside the table still fire
+    val doc2 = parse("<table><tr><td>a<td>b<tr><td>c</table>")
+    assert(doc2.findAll(_.name == "td").map(_.getText) == Seq("a", "b", "c"))
+    assert(doc2.findAll(_.name == "tr").length == 2)
+  }
+
   test("descendants order is document order") {
     val doc = parse("<body><div><h1>t</h1><p>a</p></div><p>b</p></body>")
     val names = doc.find("body").get.descendants.collect { case e: HElem => e.name }.toVector

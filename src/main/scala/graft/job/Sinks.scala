@@ -38,6 +38,32 @@ object Sinks {
       .unionByName(merged.select(existing.columns.map(col).toSeq: _*))
   }
 
+  /** MERGE-semantics variant of [[upsertPages]], written as the exact
+    * relational algebra Iceberg executes for
+    * `MERGE INTO existing e USING incoming i ON e.url = i.url
+    *  WHEN MATCHED THEN UPDATE SET *, first_indexed_at = least(...)
+    *  WHEN NOT MATCHED THEN INSERT *`
+    * — a full-outer join with matched/unmatched row dispatch. No Iceberg
+    * runtime ships in this container; SinksSpec asserts this path is
+    * row-identical to [[upsertPages]], proving the one-line swap to
+    * `MERGE INTO` preserves semantics when the jar is present. */
+  def upsertPagesMergeSemantics(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val cols = existing.columns.toSeq
+    val e = existing.select(cols.map(c => col(c).as(s"e_$c")): _*)
+    val i = incoming.select(cols.map(c => col(c).as(s"i_$c")): _*)
+    val joined = e.join(i, col("e_url") === col("i_url"), "full_outer")
+    val merged = cols.map {
+      case "first_indexed_at" =>
+        when(col("i_url").isNull, col("e_first_indexed_at")) // unmatched existing
+          .otherwise(least(col("i_first_indexed_at"),
+            coalesce(col("e_first_indexed_at"), col("i_first_indexed_at"))))
+          .as("first_indexed_at")
+      case c =>
+        when(col("i_url").isNull, col(s"e_$c")).otherwise(col(s"i_$c")).as(c)
+    }
+    joined.select(merged: _*)
+  }
+
   /** S9: delete urls + record tombstones; returns (remaining, tombstones′)
     * with the FIFO-1000 cap applied (newest by deleted_at kept). */
   def deleteWithTombstones(existing: DataFrame, deleteUrls: DataFrame,

@@ -34,6 +34,23 @@ class SinksSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("upsert is row-identical under MERGE INTO semantics (Iceberg seam)") {
+    import spark.implicits._
+    val existing = Seq(
+      ("/a", "old a", ts(100), ts(100)),
+      ("/b", "old b", ts(200), ts(200)),
+      ("/keep", "untouched", ts(50), ts(50)))
+      .toDF("url", "title", "first_indexed_at", "indexed_at")
+    val incoming = Seq(
+      ("/a", "new a", ts(500), ts(500)),
+      ("/c", "new c", ts(500), ts(500)))
+      .toDF("url", "title", "first_indexed_at", "indexed_at")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Sinks.upsertPages(existing, incoming)) ==
+      rows(Sinks.upsertPagesMergeSemantics(existing, incoming)))
+  }
+
   test("S9/W4: delete + tombstone append with FIFO cap and latest-wins per url") {
     import spark.implicits._
     val existing = Seq(("/a", "x"), ("/b", "y"), ("/c", "z")).toDF("url", "title")

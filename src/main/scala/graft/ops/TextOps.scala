@@ -101,16 +101,24 @@ object TextOps {
     * 10^14-pair bucket. Capping document frequency is the standard
     * web-scale fix; the hot set is tiny, so it anti-joins as a broadcast. */
   def shingles(docs: DataFrame, n: Int, maxDf: Option[Long] = None): DataFrame = {
-    val shingled = docs.select(col("doc_id"),
-        explode(wordNgrams(lower(col("text")), n)).as("shingle"))
+    // pre-split through a projection boundary: without the alias, codegen
+    // inlines `split(trim(lower(text)))` into every element_at inside the
+    // transform lambda and re-splits the whole document O(words·n) times
+    val shingled = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("_ws"))
+      .select(col("doc_id"), explode(wordNgramsFromWords(col("_ws"), n)).as("shingle"))
       .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("sh"))
       .distinct()
     maxDf match {
       case None => shingled
       case Some(cap) =>
-        val hot = shingled.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        shingled.join(broadcast(hot), Seq("sh"), "left_anti")
+        // document frequency via a window partitioned by shingle hash: one
+        // pass over the shingle set (the groupBy+anti-join alternative
+        // recomputes the whole explode pipeline a second time), hash-
+        // partitioned so it scales — never a global window
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+        shingled.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") <= cap).drop("_df")
     }
   }
 
@@ -122,7 +130,10 @@ object TextOps {
     * Output: (doc_a, doc_b, jaccard_x1000). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thresholdX1000: Int = 300,
       maxDf: Option[Long] = None): DataFrame = {
+    // persisted: referenced three times below (sizes + both self-join
+    // sides); without it the explode+distinct pipeline runs three times
     val shingled = shingles(docs, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shingled.as("a").join(shingled.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -142,8 +153,13 @@ object TextOps {
     * split + transform over index range — no UDF). Documents with fewer
     * than `n` words yield an empty array (unguarded, `sequence(0, -1)`
     * would step backwards and `element_at(words, 0)` errors under ANSI). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromWords(split(trim(text), "\\s+"), n)
+
+  /** n-grams over an already-split words column. Callers should alias the
+    * split through a projection so it evaluates once per row (see
+    * [[shingles]]). */
+  def wordNgramsFromWords(words: Column, n: Int): Column = {
     val idx = sequence(lit(0), size(words) - n)
     when(size(words) >= n,
       transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))

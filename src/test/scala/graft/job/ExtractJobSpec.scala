@@ -106,6 +106,18 @@ class ExtractJobSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("scalableTurnPos computes offsets distributively (broadcast join, no driver collect)") {
+    val turns = Transcripts.generate(spark, 10)
+    val out = ExtractJob.scalableTurnPos(ExtractJob.extract(turns), partitions = 4)
+    val p = out.queryExecution.executedPlan.toString
+    // the offsets table joins back via broadcast; the only window runs on
+    // the tiny per-(partition, conv) counts, partitioned by conv_id
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CollectLimit"), p.take(1500))
+    out.count() // executes without driver-side materialization of offsets
+    spark.catalog.clearCache()
+  }
+
   test("salted repartition preserves rows and spreads a mega-conversation") {
     import spark.implicits._
     val turns = Transcripts.generate(spark, 5, megaTurns = 2000, nMega = 1)

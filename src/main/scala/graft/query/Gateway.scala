@@ -1,0 +1,136 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LLM-Gateway request routing + context detection + tailored-response
+  * synthesis, re-expressed as batch column transforms over a request-log
+  * table — `/root/reference/adapters/express/src/gateway.js:1-468`,
+  * `/root/reference/spec/LLM-GATEWAY.md:175-341`.
+  *
+  * The reference serves three HTTP modes; here each becomes a row-level
+  * classification/synthesis (pure codegen'd expressions), and the stateful
+  * Mode-1 dialogue (cold start → respond within a 300 s session) lives in
+  * [[graft.streaming.StreamOps.dialogueSessions]].
+  */
+object Gateway {
+
+  /** gateway.js:6-11 — known LLM crawler UA substrings. */
+  val LlmAgents: Seq[String] = Seq(
+    "GPTBot", "ChatGPT-User", "ClaudeBot", "anthropic-ai",
+    "PerplexityBot", "Google-Extended", "cohere-ai", "CCBot",
+    "FacebookBot", "Amazonbot", "YouBot", "Bytespider")
+
+  /** gateway.js:13 (STATIC_EXTS) */
+  val StaticExts: String =
+    "(?i)\\.(js|css|png|jpg|jpeg|gif|webp|svg|ico|woff|woff2|ttf|eot|map|json)$"
+
+  /** gateway.js:14 (OPENFEEDER_PATHS) */
+  val OpenfeederPaths: String = "^/(openfeeder|\\.well-known/openfeeder)"
+
+  /** gateway.js:18-21 — substring match over the UA. */
+  def isLlmBot(ua: Column): Column =
+    coalesce(LlmAgents.map(ua.contains(_): Column).reduce(_ || _), lit(false))
+
+  /** Mode routing, exactly the middleware's early-return order
+    * (gateway.js:319-346): non-GET, static asset, openfeeder path, and
+    * non-LLM UAs pass through; requests carrying intent (headers or
+    * `_of_*` params, collapsed into an `intent` column) get Mode 2
+    * (direct/warm); the rest get Mode 1 round 1 (cold start). */
+  def routeRequests(requests: DataFrame): DataFrame =
+    requests.withColumn("route",
+      when(col("method") =!= "GET", "passthrough_method")
+        .when(col("path").rlike(StaticExts), "passthrough_static")
+        .when(col("path").rlike(OpenfeederPaths), "passthrough_openfeeder")
+        .when(!isLlmBot(col("ua")), "passthrough_not_bot")
+        .when(col("intent").isNotNull && length(col("intent")) > 0, "mode2_direct")
+        .otherwise("mode1_cold_start"))
+
+  /** JS `s.replace(/[-_]/g, " ").replace(/\b\w/g, c => c.toUpperCase())`:
+    * separators to spaces, then uppercase the first word-char of each
+    * token (rest of each token untouched — NOT initcap, which lowercases). */
+  private def titleCase(s: Column): Column = {
+    val spaced = regexp_replace(s, "[-_]", " ")
+    concat_ws(" ", transform(split(spaced, " "),
+      w => concat(upper(substring(w, 1, 1)), expr_substr2(w))))
+  }
+  private def expr_substr2(w: Column): Column = w.substr(lit(2), length(w))
+
+  /** detectContext (gateway.js:28-75): path → (detected_type,
+    * detected_topic). */
+  def detectContext(path: Column): Column = {
+    val clean = regexp_replace(path, "/$", "")
+    val segments = filter(split(clean, "/"), s => length(s) > 0)
+    val seg0 = element_at(segments, 1)
+    val seg1 = when(size(segments) >= 2, element_at(segments, 2))
+    val lastSeg = element_at(segments, -1)
+    val productRe = "(?i)^(product|products|shop|store|item|catalogue|catalog)$"
+    val categoryRe = "(?i)^(category|cat|collection|collections|tag|brand|department)$"
+    val articleRe = "(?i)^(blog|post|posts|article|articles|news|press)$"
+    when(size(segments) === 0,
+        struct(lit("home").as("detected_type"), lit(null).cast("string").as("detected_topic")))
+      .when(seg0.rlike(productRe),
+        struct(lit("product").as("detected_type"),
+          when(seg1.isNotNull, titleCase(seg1)).as("detected_topic")))
+      .when(seg0.rlike(categoryRe),
+        struct(lit("category").as("detected_type"),
+          coalesce(when(seg1.isNotNull, titleCase(seg1)), seg0).as("detected_topic")))
+      .when(seg0.rlike("(?i)^search$"),
+        struct(lit("search").as("detected_type"), lit(null).cast("string").as("detected_topic")))
+      .when(seg0.rlike(articleRe),
+        struct(lit("article").as("detected_type"),
+          when(seg1.isNotNull, titleCase(seg1)).as("detected_topic")))
+      .when(size(segments) === 1,
+        struct(lit("page").as("detected_type"), titleCase(seg0).as("detected_topic")))
+      .otherwise(
+        // multi-segment fallback: last segment, separators spaced, NO
+        // title-casing (gateway.js:73 only replaces)
+        struct(lit("page").as("detected_type"),
+          regexp_replace(lastSeg, "[-_]", " ").as("detected_topic")))
+  }
+
+  /** extractIntentData defaults (gateway.js:214-224). */
+  def withIntentDefaults(df: DataFrame): DataFrame = df
+    .withColumn("depth", coalesce(col("depth"), lit("standard")))
+    .withColumn("format", coalesce(col("format"), lit("full-text")))
+    .withColumn("query", coalesce(col("query"), lit("")))
+    .withColumn("language", coalesce(col("language"), lit("en")))
+
+  /** buildTailoredResponse's recommended endpoints + query hints
+    * (gateway.js:230-276) for Mode-2 rows. Expects `intent`, `query`,
+    * `format`, `depth`, `path`, `detected_type` columns (paths here are
+    * URL-safe, so encodeURIComponent is the identity). */
+  def tailoredResponse(df: DataFrame, baseUrl: String): DataFrame = {
+    val hasQuery = length(col("query")) > 0
+    val searchEp = struct(
+      concat(lit(s"$baseUrl/openfeeder?q="), col("query"),
+        lit("&format="), col("format")).as("url"),
+      lit("high").as("relevance"),
+      lit("Content filtered to match your specific question").as("description"))
+    val pageEp = struct(
+      when(col("detected_type").isin("product", "category"),
+          concat(lit(s"$baseUrl/openfeeder/products?url="), col("path")))
+        .otherwise(concat(lit(s"$baseUrl/openfeeder?url="), col("path"))).as("url"),
+      when(hasQuery, "medium").otherwise("high").as("relevance"),
+      when(col("detected_type").isin("product", "category"),
+          lit("Product details for the requested page"))
+        .otherwise(lit("Full content of the requested page")).as("description"))
+    val browseEp = struct(
+      lit(s"$baseUrl/openfeeder").as("url"), lit("low").as("relevance"),
+      lit("Browse all available content").as("description"))
+    // with a query: [search, page]; without: [page, browse] — the search
+    // endpoint only exists when a query is present (gateway.js:233-245)
+    val endpoints =
+      when(hasQuery, array(searchEp, pageEp))
+        .otherwise(array(pageEp, browseEp))
+    val hints =
+      when(hasQuery, array(
+        concat(lit("GET /openfeeder?q="), col("query")),
+        concat(lit("GET /openfeeder?q="), col("query"),
+          lit("&format="), col("format"), lit("&depth="), col("depth"))))
+      .otherwise(array(concat(lit("GET /openfeeder?url="), col("path"))))
+    df.withColumn("recommended_endpoints", endpoints)
+      .withColumn("query_hints", hints)
+      .withColumn("tailored", lit(true))
+  }
+}

@@ -871,6 +871,157 @@ object Queries {
              ELSE array_to_string(ws[1:40], ' ') || '...' END AS summary
       FROM w ORDER BY doc_id, chunk_id"""))
 
+  /** Deterministic synthetic gateway request log derived from documents
+    * (no external data): cycles methods, paths, UAs, and intent presence
+    * so every routing branch is exercised. */
+  private def gatewayRequests(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(11)) === 0, "POST").otherwise("GET").as("method"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("/assets/app.js"))
+        .when(pmod(col("doc_id"), lit(7)) === 1, lit("/openfeeder"))
+        .when(pmod(col("doc_id"), lit(7)) === 2, concat(lit("/products/widget-"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(7)) === 3, concat(lit("/blog/my_great-post-"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(7)) === 4, lit("/search"))
+        .when(pmod(col("doc_id"), lit(7)) === 5, lit("/"))
+        .otherwise(concat(lit("/docs/guide/part-"), col("doc_id"))).as("path"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "Mozilla/5.0 (human browser)")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "GPTBot/1.0 (+https://openai.com/gptbot)")
+        .otherwise("ClaudeBot/1.0").as("ua"),
+      when(pmod(col("doc_id"), lit(5)) === 0, "answer-question")
+        .otherwise(lit(null).cast("string")).as("intent"))
+
+  private def gatewayRequestsSql: String =
+    """SELECT doc_id,
+      CASE WHEN doc_id % 11 = 0 THEN 'POST' ELSE 'GET' END AS method,
+      CASE doc_id % 7 WHEN 0 THEN '/assets/app.js' WHEN 1 THEN '/openfeeder'
+        WHEN 2 THEN '/products/widget-' || doc_id
+        WHEN 3 THEN '/blog/my_great-post-' || doc_id
+        WHEN 4 THEN '/search' WHEN 5 THEN '/'
+        ELSE '/docs/guide/part-' || doc_id END AS path,
+      CASE doc_id % 3 WHEN 0 THEN 'Mozilla/5.0 (human browser)'
+        WHEN 1 THEN 'GPTBot/1.0 (+https://openai.com/gptbot)'
+        ELSE 'ClaudeBot/1.0' END AS ua,
+      CASE WHEN doc_id % 5 = 0 THEN 'answer-question' ELSE NULL END AS intent
+      FROM documents"""
+
+  /** Gateway mode routing + context detection (gateway.js:18-75,319-346),
+    * every branch oracle-checked. */
+  private val g1GatewayRoute = Q(
+    (s, dir) => {
+      val ctx = Gateway.detectContext(col("path"))
+      Gateway.routeRequests(gatewayRequests(s, dir))
+        .withColumn("detected_type", ctx.getField("detected_type"))
+        .withColumn("detected_topic", ctx.getField("detected_topic"))
+        .select("doc_id", "route", "detected_type", "detected_topic")
+        .orderBy("doc_id")
+    },
+    Some {
+      val llm = Gateway.LlmAgents.map(a => s"ua LIKE '%$a%'").mkString(" OR ")
+      val title = "array_to_string(list_transform(string_split(" +
+        "regexp_replace(%s, '[-_]', ' ', 'g'), ' '), w -> upper(w[1]) || w[2:]), ' ')"
+      s"""WITH req AS ($gatewayRequestsSql),
+      seg AS (
+        SELECT *, list_filter(string_split(regexp_replace(path, '/$$', ''), '/'),
+          x -> len(x) > 0) AS segments FROM req
+      ), ctx AS (
+        SELECT doc_id, method, path, ua, intent, segments,
+          CASE WHEN len(segments) = 0 THEN 'home'
+            WHEN regexp_matches(segments[1], '(?i)^(product|products|shop|store|item|catalogue|catalog)$$') THEN 'product'
+            WHEN regexp_matches(segments[1], '(?i)^(category|cat|collection|collections|tag|brand|department)$$') THEN 'category'
+            WHEN regexp_matches(segments[1], '(?i)^search$$') THEN 'search'
+            WHEN regexp_matches(segments[1], '(?i)^(blog|post|posts|article|articles|news|press)$$') THEN 'article'
+            ELSE 'page' END AS detected_type,
+          CASE WHEN len(segments) = 0 THEN NULL
+            WHEN regexp_matches(segments[1], '(?i)^(product|products|shop|store|item|catalogue|catalog)$$')
+              THEN CASE WHEN len(segments) >= 2 THEN ${title.format("segments[2]")} ELSE NULL END
+            WHEN regexp_matches(segments[1], '(?i)^(category|cat|collection|collections|tag|brand|department)$$')
+              THEN coalesce(CASE WHEN len(segments) >= 2 THEN ${title.format("segments[2]")} ELSE NULL END, segments[1])
+            WHEN regexp_matches(segments[1], '(?i)^search$$') THEN NULL
+            WHEN regexp_matches(segments[1], '(?i)^(blog|post|posts|article|articles|news|press)$$')
+              THEN CASE WHEN len(segments) >= 2 THEN ${title.format("segments[2]")} ELSE NULL END
+            WHEN len(segments) = 1 THEN ${title.format("segments[1]")}
+            ELSE regexp_replace(segments[len(segments)], '[-_]', ' ', 'g') END AS detected_topic
+        FROM seg
+      )
+      SELECT doc_id,
+        CASE WHEN method <> 'GET' THEN 'passthrough_method'
+          WHEN regexp_matches(path, '(?i)\\.(js|css|png|jpg|jpeg|gif|webp|svg|ico|woff|woff2|ttf|eot|map|json)$$') THEN 'passthrough_static'
+          WHEN regexp_matches(path, '^/(openfeeder|\\.well-known/openfeeder)') THEN 'passthrough_openfeeder'
+          WHEN NOT ($llm) THEN 'passthrough_not_bot'
+          WHEN intent IS NOT NULL AND length(intent) > 0 THEN 'mode2_direct'
+          ELSE 'mode1_cold_start' END AS route,
+        detected_type, detected_topic
+      FROM ctx ORDER BY doc_id"""
+    })
+
+  /** Mode-2 tailored response synthesis (gateway.js:230-276), arrays
+    * rendered with to_json for cross-engine comparison. */
+  private val g2GatewayTailored = Q(
+    (s, dir) => {
+      val reqs = Gateway.routeRequests(gatewayRequests(s, dir))
+        .filter(col("route") === "mode2_direct")
+        .withColumn("detected_type",
+          Gateway.detectContext(col("path")).getField("detected_type"))
+        .withColumn("depth", lit(null).cast("string"))
+        .withColumn("format", lit(null).cast("string"))
+        .withColumn("query",
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("spark tuning")).otherwise(lit(null).cast("string")))
+        .withColumn("language", lit(null).cast("string"))
+      Gateway.tailoredResponse(Gateway.withIntentDefaults(reqs), "https://site.example")
+        .select(col("doc_id"), col("intent"), col("depth"), col("format"),
+          to_json(col("recommended_endpoints")).as("endpoints_json"),
+          to_json(col("query_hints")).as("hints_json"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val llm = Gateway.LlmAgents.map(a => s"ua LIKE '%$a%'").mkString(" OR ")
+      s"""WITH req AS ($gatewayRequestsSql),
+      routed AS (
+        SELECT *,
+          CASE WHEN len(list_filter(string_split(regexp_replace(path, '/$$', ''), '/'), x -> len(x) > 0)) >= 1
+            AND regexp_matches(list_filter(string_split(regexp_replace(path, '/$$', ''), '/'), x -> len(x) > 0)[1],
+              '(?i)^(product|products|shop|store|item|catalogue|catalog)$$')
+            THEN 'product' ELSE 'other' END AS dtype,
+          CASE WHEN doc_id % 2 = 0 THEN 'spark tuning' ELSE '' END AS q
+        FROM req
+        WHERE method = 'GET'
+          AND NOT regexp_matches(path, '(?i)\\.(js|css|png|jpg|jpeg|gif|webp|svg|ico|woff|woff2|ttf|eot|map|json)$$')
+          AND NOT regexp_matches(path, '^/(openfeeder|\\.well-known/openfeeder)')
+          AND ($llm)
+          AND intent IS NOT NULL AND length(intent) > 0
+      )
+      SELECT doc_id, intent, 'standard' AS depth, 'full-text' AS format,
+        to_json(CASE WHEN length(q) > 0 THEN [
+          struct_pack(url := 'https://site.example/openfeeder?q=' || q || '&format=full-text',
+            relevance := 'high',
+            description := 'Content filtered to match your specific question'),
+          struct_pack(url := CASE WHEN dtype = 'product'
+              THEN 'https://site.example/openfeeder/products?url=' || path
+              ELSE 'https://site.example/openfeeder?url=' || path END,
+            relevance := 'medium',
+            description := CASE WHEN dtype = 'product'
+              THEN 'Product details for the requested page'
+              ELSE 'Full content of the requested page' END)
+        ] ELSE [
+          struct_pack(url := CASE WHEN dtype = 'product'
+              THEN 'https://site.example/openfeeder/products?url=' || path
+              ELSE 'https://site.example/openfeeder?url=' || path END,
+            relevance := 'high',
+            description := CASE WHEN dtype = 'product'
+              THEN 'Product details for the requested page'
+              ELSE 'Full content of the requested page' END),
+          struct_pack(url := 'https://site.example/openfeeder',
+            relevance := 'low',
+            description := 'Browse all available content')
+        ] END) AS endpoints_json,
+        to_json(CASE WHEN length(q) > 0 THEN
+            ['GET /openfeeder?q=' || q,
+             'GET /openfeeder?q=' || q || '&format=full-text&depth=standard']
+          ELSE ['GET /openfeeder?url=' || path] END) AS hints_json
+      FROM routed ORDER BY doc_id"""
+    })
+
   /** Full registry, insertion-ordered. */
   val registry: Vector[(String, Q)] = Vector(
     "q1_agg" -> q1Agg,
@@ -883,6 +1034,8 @@ object Queries {
     "p12_product_filters" -> p12ProductFilters,
     "p13_bot_classify" -> p13BotClassify,
     "p14_url_context" -> p14UrlContext,
+    "g1_gateway_route" -> g1GatewayRoute,
+    "g2_gateway_tailored" -> g2GatewayTailored,
     "w2_stable_order" -> w2StableOrder,
     "w4_tombstone_fifo" -> w4TombstoneFifo,
     "a1_pagination_totals" -> a1PaginationTotals,

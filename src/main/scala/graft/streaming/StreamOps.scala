@@ -49,6 +49,57 @@ object StreamOps {
       .filter(col("n") > limit)
       .select(col("window.start").as("window_start"), col("user_id"), col("n"))
 
+  final case class GwEvent(session_id: String, kind: String, path: String,
+      detected_type: String, answer_intent: Option[String],
+      ts: java.sql.Timestamp)
+  final case class GwSessionState(path: String, detectedType: String)
+  final case class GwOut(session_id: String, status: String, intent: String,
+      path: String, detected_type: String)
+
+  /** Mode-1 dialogue routing (gateway.js:347-453, LLM-GATEWAY.md:175-341):
+    * `cold_start` creates a 300 s session and emits `created`; a `respond`
+    * within the TTL emits `tailored` (answers defaulted per
+    * extractIntentData, gateway.js:430-436) and deletes the session;
+    * a `respond` with no live session emits `session_expired` (the
+    * SESSION_EXPIRED error path). State = one tiny row per open session,
+    * dropped on answer or timeout — bounded like the reference's swept
+    * Map. `ttlMs = 0` uses NoTimeout (deterministic tests). */
+  def dialogueSessions(events: Dataset[GwEvent], ttlMs: Long = 300000L)
+      : Dataset[GwOut] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.session_id)
+      .flatMapGroupsWithState[GwSessionState, GwOut](OutputMode.Append, timeout) {
+        (sid: String, batch: Iterator[GwEvent], state: GroupState[GwSessionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Vector.newBuilder[GwOut]
+            batch.toVector.sortBy(_.ts.getTime).foreach { e =>
+              e.kind match {
+                case "cold_start" =>
+                  state.update(GwSessionState(e.path, e.detected_type))
+                  if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+                  out += GwOut(sid, "created", "", e.path, e.detected_type)
+                case "respond" =>
+                  state.getOption match {
+                    case Some(s) =>
+                      state.remove()
+                      out += GwOut(sid, "tailored",
+                        e.answer_intent.getOrElse("answer-question"),
+                        s.path, s.detectedType)
+                    case None =>
+                      out += GwOut(sid, "session_expired", "", e.path, e.detected_type)
+                  }
+                case _ => ()
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SessionEvent(session_id: String, ts: java.sql.Timestamp)
   final case class SessionSummary(session_id: String, events: Long, expired: Boolean)
 

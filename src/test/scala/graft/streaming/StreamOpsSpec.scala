@@ -95,6 +95,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet.contains(("gw_a", 3L, false))) // state carried across batches
   }
 
+  test("gateway mode-1 dialogue: cold start -> respond within session; expired respond errors") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamOps.GwEvent]
+    val q = StreamOps.dialogueSessions(source.toDS(), ttlMs = 0L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gw")
+      .start()
+    // batch 1: two cold starts
+    source.addData(
+      StreamOps.GwEvent("gw_1", "cold_start", "/blog/post-1", "article", None, ts(1)),
+      StreamOps.GwEvent("gw_2", "cold_start", "/products/x", "product", None, ts(2)))
+    q.processAllAvailable()
+    // batch 2: gw_1 answers (tailored, context comes from the stored
+    // session, not the respond event); gw_9 answers with no session
+    source.addData(
+      StreamOps.GwEvent("gw_1", "respond", "/ignored", "ignored", Some("fact-check"), ts(3)),
+      StreamOps.GwEvent("gw_9", "respond", "/late", "page", Some("summarize"), ts(4)))
+    q.processAllAvailable()
+    // batch 3: gw_1 answers AGAIN -> its session was deleted on answer
+    source.addData(
+      StreamOps.GwEvent("gw_1", "respond", "/again", "page", Some("summarize"), ts(5)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT session_id, status, intent, path FROM gw")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    q.stop()
+    assert(got.contains(("gw_1", "created", "", "/blog/post-1")))
+    assert(got.contains(("gw_2", "created", "", "/products/x")))
+    assert(got.contains(("gw_1", "tailored", "fact-check", "/blog/post-1")))
+    assert(got.contains(("gw_9", "session_expired", "", "/late")))
+    assert(got.contains(("gw_1", "session_expired", "", "/again")))
+  }
+
   test("wp shortcode strip (C7)") {
     import graft.extract.AdapterChunker
     val content = "[gallery ids=\"1,2\"]\nReal paragraph one stays.\n\n" +

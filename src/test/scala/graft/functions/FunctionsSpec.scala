@@ -70,4 +70,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.7672256e9)
     assert(r.getString(4) == "keep this text")
   }
+
+  test("of_extract_turn dispatches on tool; of_is_llm_bot matches UA substrings") {
+    Functions.registerAll(spark)
+    val html = "'<html><body><p>A paragraph with more than twenty characters.</p></body></html>'"
+    val r = spark.sql(
+      s"""SELECT of_extract_turn('u#0', $html, 'browser') AS h,
+         |       of_extract_turn('u#0', $html, 'render') AS s,
+         |       of_is_llm_bot('Mozilla/5.0 GPTBot/1.0') AS bot,
+         |       of_is_llm_bot('Mozilla/5.0 human') AS human""".stripMargin)
+      .collect().head
+    val htmlChunks = r.getSeq[org.apache.spark.sql.Row](0)
+    val spanChunks = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(htmlChunks.map(_.getString(2)) == Seq("paragraph"))
+    assert(spanChunks.map(_.getString(2)) == Seq("span"))
+    assert(spanChunks.head.getString(1) == "A paragraph with more than twenty characters.")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+  }
 }

@@ -704,7 +704,10 @@ object Queries {
     * (dimensions, sample rate, frame counts). n_bytes is real encoder
     * output and thus not SQL-predictable — asserted >0 in OpsSpec. */
   private val xMultimodal = Q(
-    (s, dir) => Multimodal.decode(Multimodal.synthesize(rd(s, dir, "documents")))
+    // repartition: the sf parquet is one split, but codec work is
+    // per-row CPU — spread it across the executor threads
+    (s, dir) => Multimodal.decode(Multimodal.synthesize(
+        rd(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)))
       .toDF()
       .select("doc_id", "kind", "width", "height", "sample_rate", "n_frames")
       .orderBy("doc_id"),

@@ -78,19 +78,16 @@ object Functions {
           SqlChunk(graft.job.ExtractJob.sha256Hex(s"$url::chunk::$i").take(16),
             c.text, c.chunkType)
         }))
-    // tool-dispatched variant, mirroring ExtractJob.extractOne routing:
-    // render/pdf -> 50 KB-capped flatten-to-spans, else HTML pipeline
+    // tool-dispatched variant — shares ExtractJob.RawFallbackTools routing
+    // (render/pdf -> 50 KB-capped flatten-to-spans, else HTML pipeline);
+    // null text yields an empty chunk list rather than a task-killing NPE
     spark.udf.register("of_extract_turn",
-      udf((url: String, text: String, tool: String) => {
-        val chunks = tool match {
-          case "render" | "pdf" => graft.extract.SpanFlatten.flatten(text).chunks
-          case _ => graft.extract.ChunkHtml(url, text).chunks
-        }
-        chunks.zipWithIndex.map { case (c, i) =>
-          SqlChunk(graft.job.ExtractJob.sha256Hex(s"$url::chunk::$i").take(16),
-            c.text, c.chunkType)
-        }
-      }))
+      udf((url: String, text: String, tool: String) =>
+        graft.job.ExtractJob.chunksFor(url, text, tool).zipWithIndex.map {
+          case (c, i) =>
+            SqlChunk(graft.job.ExtractJob.sha256Hex(s"$url::chunk::$i").take(16),
+              c.text, c.chunkType)
+        }))
     // gateway helpers (shared constants with graft.query.Gateway)
     spark.udf.register("of_is_llm_bot",
       udf((ua: String) =>

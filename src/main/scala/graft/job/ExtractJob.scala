@@ -83,10 +83,21 @@ object ExtractJob {
     * (`/root/reference/mcp/src/tools/smart-fetch.ts:75-87`); everything
     * else takes the full HTML extraction path. Deterministic: `updated`
     * pinned to the turn's `ts` (chunker.py:733 uses wall-clock; we do not). */
-  def extractOne(t: Turn): ExtractedTurn = t.tool match {
-    case "render" | "pdf" => extractRawFallback(t)
-    case _ => extractHtmlTurn(t)
-  }
+  /** Tools routed to the raw-fallback flatten-to-spans path — the single
+    * source of truth shared by [[extractOne]] and the `of_extract_turn`
+    * SQL function. */
+  val RawFallbackTools: Set[String] = Set("render", "pdf")
+
+  def extractOne(t: Turn): ExtractedTurn =
+    if (RawFallbackTools.contains(t.tool)) extractRawFallback(t)
+    else extractHtmlTurn(t)
+
+  /** Tool-dispatched chunk list for one payload (the `of_extract_turn`
+    * SQL surface; null-safe: null text yields no chunks). */
+  def chunksFor(url: String, text: String, tool: String): Vector[ChunkHtml.Chunk] =
+    if (text == null) Vector.empty
+    else if (RawFallbackTools.contains(tool)) graft.extract.SpanFlatten.flatten(text).chunks
+    else ChunkHtml(if (url == null) "" else url, text).chunks
 
   /** tool=render/pdf: 50 KB cap + flatten-to-spans (see [[SpanFlatten]]).
     * No metadata chain — the reference's fallback returns the raw body. */
@@ -187,19 +198,23 @@ object ExtractJob {
       .cache()
     try {
       // prefix offsets per (partition, conversation), computed DISTRIBUTED:
-      // the counts table has one row per (partition, conv) — tiny relative
-      // to the data, but at 10^9+ conversations it must never transit the
-      // driver. A window partitioned by conv_id over the counts (each
-      // conversation spans at most a few partitions) yields the running
-      // prefix; broadcast-join it back onto the ranged rows.
+      // a window partitioned by conv_id over the per-(partition, conv)
+      // counts yields each conversation's running prefix. Only rows with a
+      // NON-ZERO offset matter — i.e. conversations that span a range-
+      // partition boundary — and there are at most O(#partitions + mega-
+      // conversation spans) of those regardless of how many conversations
+      // exist, so the broadcast stays tiny at any corpus size (a 10^9-conv
+      // table must never ship 10^9 offset rows through the driver).
       val wOff = Window.partitionBy("conv_id").orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = ranged.groupBy($"_pid", $"conv_id").count()
         .withColumn("_off", coalesce(sum($"count").over(wOff), lit(0L)))
+        .filter($"_off" > 0) // boundary-spanning (pid, conv) pairs only
         .select($"_pid", $"conv_id", $"_off")
-      // broadcast hash join streams `ranged` in place: within-partition sort
-      // order survives, so the local running counter below stays valid
-      ranged.join(broadcast(offsets), Seq("_pid", "conv_id"))
+      // left broadcast hash join streams `ranged` in place: within-partition
+      // sort order survives, so the local running counter below stays valid
+      ranged.join(broadcast(offsets), Seq("_pid", "conv_id"), "left")
+        .na.fill(0L, Seq("_off"))
         .as[ExtractedTurnWithPid].mapPartitions { it =>
           var lastConv: String = null
           var local = 0L

@@ -16,8 +16,9 @@ object Dedup {
     * inflate similarity of unrelated docs — dropping them is the standard
     * web-scale setup; see TextOps.shingles). */
   def minHashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16,
-      maxDf: Option[Long] = None, portable: Boolean = false): DataFrame = {
-    val shingled = TextOps.shingles(docs, n, maxDf)
+      maxDf: Option[Long] = None, portable: Boolean = false,
+      maxDfPct: Option[Int] = None): DataFrame = {
+    val shingled = TextOps.shingles(docs, n, maxDf, maxDfPct)
     val mins = (0 until k).map(j => min(perm(j, portable)).as(s"mh$j"))
     shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -43,10 +44,11 @@ object Dedup {
     * to the corpus) so shingling runs once, not three times. */
   def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       minEstJaccardX1000: Int = 500, maxDf: Option[Long] = None,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, maxDfPct: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = minHashSignatures(docs, n, k, maxDf, portable)
+    // persisted, never unpersisted: lazy plan — see ngramJaccardPairs note
+    val sigs = minHashSignatures(docs, n, k, maxDf, portable, maxDfPct)
       .select(col("doc_id"), array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def bandKey(b: Int): Column = {

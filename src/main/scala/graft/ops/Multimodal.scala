@@ -117,13 +117,37 @@ object Multimodal {
 
   private val PngSig = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
+  /** Exact MJPNG frame count: walk each PNG's chunk structure
+    * ([len][type][data][crc] until IEND) so signature bytes occurring
+    * inside compressed IDAT data are never miscounted as frame starts.
+    * Stops at the first malformed frame (robust to truncation). */
   private def countPngFrames(bytes: Array[Byte]): Int = {
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
     var n = 0
     var i = 0
-    while (i + PngSig.length <= bytes.length) {
+    var ok = true
+    while (ok && i + PngSig.length <= bytes.length) {
       var j = 0
       while (j < PngSig.length && bytes(i + j) == PngSig(j)) j += 1
-      if (j == PngSig.length) { n += 1; i += PngSig.length } else i += 1
+      if (j != PngSig.length) ok = false
+      else {
+        i += PngSig.length
+        var atEnd = false
+        while (ok && !atEnd) {
+          if (i + 8 > bytes.length) ok = false
+          else {
+            val len = u32(i)
+            val isEnd = bytes(i + 4) == 'I' && bytes(i + 5) == 'E' &&
+              bytes(i + 6) == 'N' && bytes(i + 7) == 'D'
+            val next = i + 8 + len + 4 // len + type + data + crc
+            if (next > bytes.length || len > Int.MaxValue - 16) ok = false
+            else { i = next.toInt; if (isEnd) atEnd = true }
+          }
+        }
+        if (ok) n += 1
+      }
     }
     n
   }
@@ -146,33 +170,48 @@ object Multimodal {
     feat
   }
 
-  /** Decode one media row with the JDK codecs (see class doc). */
+  /** Decode one media row with the JDK codecs (see class doc). Malformed
+    * payloads (ImageIO.read returns NULL for unrecognized/truncated bytes;
+    * AudioSystem throws) degrade to a zeroed row instead of killing the
+    * task — at 10^12 rows, corrupt payloads are a certainty, not an edge. */
   def decodeOne(r: MediaRow): MediaMeta = r.kind match {
     case "image" =>
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload))
-      MediaMeta(r.doc_id, r.kind, r.payload.length, img.getWidth, img.getHeight,
-        0, 0, lumaHistogram(img))
+      if (img == null)
+        MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0, 0, 0, new Array[Float](8))
+      else
+        MediaMeta(r.doc_id, r.kind, r.payload.length, img.getWidth, img.getHeight,
+          0, 0, lumaHistogram(img))
     case "audio" =>
-      val in = new ByteArrayInputStream(r.payload)
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
-      val fmt = ais.getFormat
-      val nFrames = ais.getFrameLength.toInt
-      val pcm = ais.readAllBytes()
-      // 8-bin absolute-amplitude histogram over 16-bit little-endian samples
-      val feat = new Array[Float](8)
-      var i = 0
-      while (i + 1 < pcm.length) {
-        val v = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort
-        feat(math.min(math.abs(v.toInt) * 8 / 32768, 7)) += 1.0f
-        i += 2
+      try {
+        val in = new ByteArrayInputStream(r.payload)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength.toInt
+        val pcm = ais.readAllBytes()
+        // 8-bin absolute-amplitude histogram over 16-bit little-endian samples
+        val feat = new Array[Float](8)
+        var i = 0
+        while (i + 1 < pcm.length) {
+          val v = ((pcm(i) & 0xFF) | (pcm(i + 1) << 8)).toShort
+          feat(math.min(math.abs(v.toInt) * 8 / 32768, 7)) += 1.0f
+          i += 2
+        }
+        MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0,
+          fmt.getSampleRate.toInt, nFrames, feat)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException =>
+          MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0, 0, 0, new Array[Float](8))
       }
-      MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0,
-        fmt.getSampleRate.toInt, nFrames, feat)
     case _ => // video: MJPNG frame count + first-frame decode
       val nFrames = countPngFrames(r.payload)
       val first = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload))
-      MediaMeta(r.doc_id, r.kind, r.payload.length, first.getWidth,
-        first.getHeight, 0, nFrames, lumaHistogram(first))
+      if (first == null)
+        MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0, 0, nFrames, new Array[Float](8))
+      else
+        MediaMeta(r.doc_id, r.kind, r.payload.length, first.getWidth,
+          first.getHeight, 0, nFrames, lumaHistogram(first))
   }
 
   /** Decode/feature-extract pass: typed mapPartitions — decoder state is

@@ -95,12 +95,16 @@ object TextOps {
   }
 
   /** Distinct (doc_id, shingle-hash) pairs, optionally dropping shingles
-    * whose document frequency exceeds `maxDf`. A hot shingle (boilerplate
-    * phrase shared by a large fraction of the corpus) turns the shingle
-    * self-join quadratic — one shingle in 1% of a 10^9-doc corpus is a
-    * 10^14-pair bucket. Capping document frequency is the standard
-    * web-scale fix; the hot set is tiny, so it anti-joins as a broadcast. */
-  def shingles(docs: DataFrame, n: Int, maxDf: Option[Long] = None): DataFrame = {
+    * above a document-frequency cap. A hot shingle (boilerplate phrase
+    * shared by a large fraction of the corpus) turns the shingle self-join
+    * quadratic — one shingle in 1% of a 10^9-doc corpus is a 10^14-pair
+    * bucket; capping df is the standard web-scale fix.
+    * `maxDf`: absolute cap. `maxDfPct`: percent-of-corpus cap computed
+    * INSIDE the job (`greatest(floor(ndocs·pct/100), 2)` via a broadcast
+    * 1-row count — no eager driver-side count at plan-construction time).
+    * When both are set, the absolute cap wins. */
+  def shingles(docs: DataFrame, n: Int, maxDf: Option[Long] = None,
+      maxDfPct: Option[Int] = None): DataFrame = {
     // pre-split through a projection boundary: without the alias, codegen
     // inlines `split(trim(lower(text)))` into every element_at inside the
     // transform lambda and re-splits the whole document O(words·n) times
@@ -109,16 +113,32 @@ object TextOps {
       .select(col("doc_id"), explode(wordNgramsFromWords(col("_ws"), n)).as("shingle"))
       .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("sh"))
       .distinct()
-    maxDf match {
+    val cap: Option[Column] = (maxDf, maxDfPct) match {
+      case (Some(c), _) => Some(lit(c))
+      case (None, Some(pct)) => Some(col("_dfcap"))
+      case _ => None
+    }
+    cap match {
       case None => shingled
-      case Some(cap) =>
+      case Some(capCol) =>
         // document frequency via a window partitioned by shingle hash: one
         // pass over the shingle set (the groupBy+anti-join alternative
         // recomputes the whole explode pipeline a second time), hash-
         // partitioned so it scales — never a global window
         val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-        shingled.withColumn("_df", count(lit(1)).over(w))
-          .filter(col("_df") <= cap).drop("_df")
+        val withDf = shingled.withColumn("_df", count(lit(1)).over(w))
+        val capped = maxDfPct match {
+          case Some(pct) if maxDf.isEmpty =>
+            // (ndocs·pct)/100.0 is exact in double (ndocs·pct is an exact
+            // long), so floor(...) == ndocs·pct // 100 — mirrors the
+            // DuckDB oracle's integer division bit-for-bit
+            val total = docs.select(
+              greatest(floor(count(lit(1)) * pct / 100.0), lit(2L)).as("_dfcap"))
+            withDf.crossJoin(broadcast(total))
+          case _ => withDf
+        }
+        capped.filter(col("_df") <= capCol)
+          .select("doc_id", "sh")
     }
   }
 
@@ -129,10 +149,13 @@ object TextOps {
     * stays a true Jaccard of the retained sets.
     * Output: (doc_a, doc_b, jaccard_x1000). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thresholdX1000: Int = 300,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None, maxDfPct: Option[Int] = None): DataFrame = {
     // persisted: referenced three times below (sizes + both self-join
-    // sides); without it the explode+distinct pipeline runs three times
-    val shingled = shingles(docs, n, maxDf)
+    // sides); without it the explode+distinct pipeline runs three times.
+    // NOTE: never unpersisted — the returned plan is lazy, so the cache
+    // lives until session clearCache(); one-shot callers (Verify/Bench run
+    // each query once) are bounded, long-lived sessions should clear.
+    val shingled = shingles(docs, n, maxDf, maxDfPct)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shingled.as("a").join(shingled.as("b"),

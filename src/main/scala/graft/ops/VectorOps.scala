@@ -69,18 +69,26 @@ object VectorOps {
           i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double"))
           .as("embedding"))
 
-  /** Driver-side featurization of a query string — EXACTLY the semantics of
-    * [[hashedFeatures]] (lower, trim, \s+ split, md5-prefix hash) so
-    * query and corpus live in the same space. */
+  /** Driver-side featurization of a query string — EXACTLY the expression
+    * pipeline of [[hashedFeatures]], operation for operation:
+    * `lower` (Unicode simple mapping, locale-independent → Locale.ROOT),
+    * `trim` (ASCII space 0x20 ONLY — Java's String.trim also strips
+    * tabs/newlines and would diverge), `split("\\s+")` with limit -1
+    * (keeps empty edge tokens exactly like Spark's split). */
   def featurizeLocal(text: String, dim: Int): Map[Int, Long] = {
-    val words = text.toLowerCase.trim.split("\\s+")
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    var a = 0; var b = lowered.length
+    while (a < b && lowered.charAt(a) == ' ') a += 1
+    while (b > a && lowered.charAt(b - 1) == ' ') b -= 1
+    val words = java.util.regex.Pattern.compile("\\s+")
+      .split(lowered.substring(a, b), -1)
     words.foldLeft(Map.empty[Int, Long].withDefaultValue(0L)) { (m, w) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(w.getBytes("UTF-8")).take(4)
-        .map(b => f"${b & 0xff}%02x").mkString
+        .map(x => f"${x & 0xff}%02x").mkString
       val h = java.lang.Long.parseLong(hex, 16)
-      val b = (h % dim).toInt
-      m.updated(b, m(b) + (if (((h >> 8) & 1) == 1) 1L else -1L))
+      val bkt = (h % dim).toInt
+      m.updated(bkt, m(bkt) + (if (((h >> 8) & 1) == 1) 1L else -1L))
     }.filter(_._2 != 0L)
   }
 

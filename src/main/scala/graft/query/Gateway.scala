@@ -48,7 +48,12 @@ object Gateway {
 
   /** JS `s.replace(/[-_]/g, " ").replace(/\b\w/g, c => c.toUpperCase())`:
     * separators to spaces, then uppercase the first word-char of each
-    * token (rest of each token untouched — NOT initcap, which lowercases). */
+    * token (rest of each token untouched — NOT initcap, which lowercases).
+    * Documented delta: JS's `\b\w` also fires after in-token non-word
+    * chars (apostrophes, dots: "o'reilly" → "O'Reilly"), which SQL cannot
+    * express without a callback replace; this version (and its DuckDB
+    * oracle mirror) uppercases only at space boundaries — identical for
+    * the common `[a-z0-9-_]` URL-slug alphabet. */
   private def titleCase(s: Column): Column = {
     val spaced = regexp_replace(s, "[-_]", " ")
     concat_ws(" ", transform(split(spaced, " "),

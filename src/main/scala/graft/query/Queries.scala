@@ -435,17 +435,12 @@ object Queries {
     Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
-  /** df cap = max(5% of corpus, 2): boilerplate shingles shared by a large
-    * corpus fraction are what turns the shingle self-join quadratic. */
-  private def jaccardMaxDf(docs: DataFrame): Long =
-    math.max(docs.count() * 5 / 100, 2L)
-
   private val xNgramJaccard = Q(
-    (s, dir) => {
-      val docs = rd(s, dir, "documents")
-      TextOps.ngramJaccardPairs(docs, n = 3, thresholdX1000 = 200,
-        maxDf = Some(jaccardMaxDf(docs)))
-    },
+    // df cap = max(5% of corpus, 2), computed inside the job: boilerplate
+    // shingles shared by a large corpus fraction are what turns the
+    // shingle self-join quadratic
+    (s, dir) => TextOps.ngramJaccardPairs(rd(s, dir, "documents"), n = 3,
+      thresholdX1000 = 200, maxDfPct = Some(5)),
     Some("""WITH words AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
       ), idx AS (
@@ -499,11 +494,8 @@ object Queries {
   /** Portable minhash (md5-based permutation hashes + md5 band keys) for
     * the oracle; the xxhash64 production path is exercised in OpsSpec. */
   private val xMinHashPairs = Q(
-    (s, dir) => {
-      val docs = rd(s, dir, "documents")
-      Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4,
-        minEstJaccardX1000 = 250, maxDf = Some(jaccardMaxDf(docs)), portable = true)
-    },
+    (s, dir) => Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16,
+      bands = 4, minEstJaccardX1000 = 250, portable = true, maxDfPct = Some(5)),
     Some {
       val k = 16; val bands = 4; val r = k / bands
       val mins = (0 until k).map(j =>

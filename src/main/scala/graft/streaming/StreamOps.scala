@@ -49,6 +49,31 @@ object StreamOps {
       .filter(col("n") > limit)
       .select(col("window.start").as("window_start"), col("user_id"), col("n"))
 
+  /** Streaming stable turn ordering (W2's streaming twin): per-conversation
+    * positions assigned incrementally ACROSS micro-batches. State = one
+    * long per live conversation (the running turn count); within a batch,
+    * turns sort by (turn_idx, ts) exactly like the batch window. Positions
+    * stay contiguous as long as a conversation's turns arrive in
+    * batch-monotonic order (the webhook ingestion contract); each turn is
+    * extracted via the tool-dispatched pipeline on the way through. */
+  def streamingExtractWithTurnPos(turns: Dataset[Turn])
+      : Dataset[graft.model.ExtractedTurn] = {
+    import turns.sparkSession.implicits._
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[Long, graft.model.ExtractedTurn](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Turn], state: GroupState[Long]) =>
+          val sorted = batch.toVector.sortBy(t => (t.turn_idx, t.ts.getTime))
+          var pos = state.getOption.getOrElse(0L)
+          val out = sorted.map { t =>
+            pos += 1
+            ExtractJob.extractOne(t).copy(turn_pos = pos)
+          }
+          state.update(pos)
+          out.iterator
+      }
+  }
+
   final case class GwEvent(session_id: String, kind: String, path: String,
       detected_type: String, answer_intent: Option[String],
       ts: java.sql.Timestamp)

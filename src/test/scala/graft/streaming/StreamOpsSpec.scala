@@ -95,6 +95,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet.contains(("gw_a", 3L, false))) // state carried across batches
   }
 
+  test("streaming turn_pos is contiguous across micro-batches and matches batch extraction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def mk(conv: String, idx: Int) = graft.model.Turn(conv, idx, "user",
+      s"<p>turn $idx of $conv with enough characters to chunk</p>", "browser",
+      new java.sql.Timestamp((graft.job.Transcripts.EpochStart + idx * 60L) * 1000L))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Turn]
+    val q = StreamOps.streamingExtractWithTurnPos(source.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ord")
+      .start()
+    // batch 1: conv A turns 0-2 (out of order), conv B turn 0
+    source.addData(mk("A", 2), mk("A", 0), mk("A", 1), mk("B", 0))
+    q.processAllAvailable()
+    // batch 2: conv A turns 3-4 — positions must CONTINUE from 3
+    source.addData(mk("A", 4), mk("A", 3))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT conv_id, turn_idx, turn_pos, n_chunks FROM ord")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getInt(3))).toMap
+    q.stop()
+    assert(got(("A", 0))._1 == 1L && got(("A", 1))._1 == 2L && got(("A", 2))._1 == 3L)
+    assert(got(("A", 3))._1 == 4L && got(("A", 4))._1 == 5L) // continuity across batches
+    assert(got(("B", 0))._1 == 1L)
+    // extraction ran the real pipeline on the way through
+    assert(got.values.forall(_._2 == 1))
+    // equals the batch path's ordering semantics for the same turns
+    val batchTurns = Seq(mk("A", 0), mk("A", 1), mk("A", 2), mk("A", 3), mk("A", 4), mk("B", 0))
+    val viaBatch = graft.job.ExtractJob.withTurnPos(
+        graft.job.ExtractJob.extract(batchTurns.toDS())).collect()
+      .map(e => (e.conv_id, e.turn_idx) -> e.turn_pos).toMap
+    assert(viaBatch == got.view.mapValues(_._1).toMap)
+  }
+
   test("gateway mode-1 dialogue: cold start -> respond within session; expired respond errors") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

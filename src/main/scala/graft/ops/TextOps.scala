@@ -43,7 +43,6 @@ object TextOps {
         (col("n_chars") * 100L / greatest(col("n_words"), lit(1))).cast("long"))
       .withColumn("is_quality",
         (col("n_words") >= 5) && (col("mean_word_len_x100") between (200L, 1200L)))
-      .orderBy("doc_id")
   }
 
   /** Heuristic language ID via function-word hits (n-gram heuristic class;
@@ -63,7 +62,6 @@ object TextOps {
         .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), "fr")
         .when(col("es_hits") >= col("de_hits"), "es")
         .otherwise("de"))
-      .orderBy("doc_id")
   }
 
   /** Exact dedup: canonical = min doc_id per md5(normalized text). The

@@ -390,7 +390,7 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
 
   private val xQuality = Q(
-    (s, dir) => TextOps.qualityFeatures(rd(s, dir, "documents")),
+    (s, dir) => TextOps.qualityFeatures(rd(s, dir, "documents")).orderBy("doc_id"),
     Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words,
       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT) AS n_tokens,
@@ -407,7 +407,7 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
 
   private val xLangId = Q(
-    (s, dir) => TextOps.langId(rd(s, dir, "documents")),
+    (s, dir) => TextOps.langId(rd(s, dir, "documents")).orderBy("doc_id"),
     Some {
       def occ(w: String) =
         s"(length(lower(text)) - length(replace(lower(text), ' $w ', ''))) // ${w.length + 2}"
@@ -468,6 +468,57 @@ object Queries {
   /** Portable variant (md5-derived word hashes) so the whole simhash
     * computation has a DuckDB oracle; the xxhash64 production path is
     * property-tested in OpsSpec. */
+  /** Composed curation capstone — the end-to-end pipeline a training-data
+    * user actually runs: quality gate ∧ language-ID agreement ∧ exact-dedup
+    * canonical survivors, carrying token counts for budget accounting.
+    * Every stage is a pure DataFrame transform, so they compose into ONE
+    * Catalyst plan (joins co-partition on doc_id); oracle-checked
+    * end-to-end in DuckDB. */
+  private val xCurationPipeline = Q(
+    (s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val q = TextOps.qualityFeatures(docs).select("doc_id", "n_tokens", "is_quality")
+      val l = TextOps.langId(docs).select("doc_id", "lang_pred")
+      val canon = TextOps.exactDedup(docs).select(col("canonical_id").as("doc_id"))
+      docs.select("doc_id", "lang")
+        .join(q, "doc_id").join(l, "doc_id")
+        .join(canon, Seq("doc_id"), "left_semi")
+        .filter(col("is_quality") && col("lang_pred") === col("lang"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def occ(w: String) =
+        s"(length(lower(text)) - length(replace(lower(text), ' $w ', ''))) // ${w.length + 2}"
+      def hits(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
+      val en = hits(Seq("the", "and", "of"))
+      val fr = hits(Seq("le", "la", "et", "les"))
+      val es = hits(Seq("el", "los", "que", "y"))
+      val de = hits(Seq("der", "die", "und", "das"))
+      s"""WITH q AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens,
+          (len(regexp_split_to_array(trim(text), '\\s+')) >= 5 AND
+           length(text)*100 // greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+             BETWEEN 200 AND 1200) AS is_quality
+        FROM documents
+      ), l AS (
+        SELECT doc_id,
+          CASE WHEN $en >= $fr AND $en >= $es AND $en >= $de THEN 'en'
+               WHEN $fr >= $es AND $fr >= $de THEN 'fr'
+               WHEN $es >= $de THEN 'es' ELSE 'de' END AS lang_pred
+        FROM documents
+      ), canon AS (
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+      )
+      SELECT d.doc_id, q.n_tokens
+      FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+      WHERE d.doc_id IN (SELECT doc_id FROM canon)
+        AND q.is_quality AND l.lang_pred = d.lang
+      ORDER BY d.doc_id"""
+    })
+
   private val xSimHash = Q(
     (s, dir) => TextOps.simHashPortable(rd(s, dir, "documents")),
     Some {
@@ -1057,6 +1108,7 @@ object Queries {
     "x_quality" -> xQuality,
     "x_langid" -> xLangId,
     "x_exact_dedup" -> xExactDedup,
+    "x_curation_pipeline" -> xCurationPipeline,
     "x_fingerprint" -> xFingerprint,
     "x_ngram_jaccard" -> xNgramJaccard,
     "x_simhash" -> xSimHash,

@@ -477,14 +477,28 @@ object Queries {
   private val xCurationPipeline = Q(
     (s, dir) => {
       val docs = rd(s, dir, "documents")
-      val q = TextOps.qualityFeatures(docs).select("doc_id", "n_tokens", "is_quality")
-      val l = TextOps.langId(docs).select("doc_id", "lang_pred")
+      // quality + language-ID are per-row expressions: compute BOTH in ONE
+      // scan (joining separate qualityFeatures/langId frames would re-scan
+      // the corpus twice more); only the dedup canonical set needs an
+      // aggregation + semi join
+      def hits(ws: Seq[String]): Column =
+        ws.map(w => TextOps.occurrences(lower(col("text")), s" $w ")).reduce(_ + _)
+      val nWords = TextOps.wordCount(col("text"))
+      val meanLenX100 = (length(col("text")) * 100L / greatest(nWords, lit(1))).cast("long")
+      val isQuality = (nWords >= 5) && (meanLenX100 between (200L, 1200L))
+      val en = hits(Seq("the", "and", "of"))
+      val fr = hits(Seq("le", "la", "et", "les"))
+      val es = hits(Seq("el", "los", "que", "y"))
+      val de = hits(Seq("der", "die", "und", "das"))
+      val langPred = when(en >= fr && en >= es && en >= de, "en")
+        .when(fr >= es && fr >= de, "fr").when(es >= de, "es").otherwise("de")
+      val featured = docs.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        isQuality.as("is_quality"), langPred.as("lang_pred"))
       val canon = TextOps.exactDedup(docs).select(col("canonical_id").as("doc_id"))
-      docs.select("doc_id", "lang")
-        .join(q, "doc_id").join(l, "doc_id")
-        .join(canon, Seq("doc_id"), "left_semi")
+      featured.join(canon, Seq("doc_id"), "left_semi")
         .filter(col("is_quality") && col("lang_pred") === col("lang"))
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+        .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     },
     Some {

@@ -126,9 +126,13 @@ object Bench {
     val spark = session(cpus)
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // sketch queries time their xxhash64 PRODUCTION twins (same plan
+        // shape; the registry's md5-portable modes exist only so DuckDB
+        // can oracle-check them bit-for-bit in Verify)
+        val timedFn = graft.query.Queries.benchProductionOverrides.getOrElse(name, fn)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          timedFn(spark, sfDir).count()
           name -> Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
@@ -179,6 +183,11 @@ object Bench {
          || all 4× pairs | ${pairs.map(p => s"${p._1}→${p._2}: ${f(eff(p))}").mkString("; ")} |
          || full pipeline (extract + ordering window) @ local[$cpus] | ${f(pipeSec)} s |
          || query surface total @ local[$cpus], $sfDir | ${f(totalSec)} s |
+         |
+         |Hash modes: `x_minhash_pairs` and `x_simhash` are timed in their
+         |xxhash64 PRODUCTION mode (what a user runs); correctness for the
+         |sketch family is gated by the md5-"portable" twins that Verify
+         |runs against DuckDB (same plan shape, hash function swapped).
          |
          |Context for the 8→32 pair (tools/MemProbe, tools/ParseProbe): on this
          |host (32 vCPUs, virtualized, noisy neighbors) even a pure

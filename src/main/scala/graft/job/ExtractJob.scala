@@ -191,43 +191,46 @@ object ExtractJob {
   def scalableTurnPos(extracted: Dataset[ExtractedTurn], partitions: Int): Dataset[ExtractedTurn] = {
     val spark = extracted.sparkSession
     import spark.implicits._
+    // localCheckpoint (NOT cache): both the offsets pass and the output
+    // pass must see the SAME range-partition assignment — a cache entry
+    // that gets evicted/recomputed could re-sample different boundaries,
+    // and a cacheManager entry would pin executor storage until a session-
+    // wide clearCache. The checkpoint freezes rows + partitioning, leaves
+    // the cacheManager empty, and its blocks free when the returned
+    // Dataset is GC'd. Storage cost is identical to the old cache
+    // (MEMORY_AND_DISK of the compressed post-extraction rows).
     val ranged = extracted
       .repartitionByRange(partitions, $"conv_id", $"turn_idx", $"ts")
       .sortWithinPartitions($"conv_id", $"turn_idx", $"ts")
       .withColumn("_pid", spark_partition_id())
-      .cache()
-    try {
-      // prefix offsets per (partition, conversation), computed DISTRIBUTED:
-      // a window partitioned by conv_id over the per-(partition, conv)
-      // counts yields each conversation's running prefix. Only rows with a
-      // NON-ZERO offset matter — i.e. conversations that span a range-
-      // partition boundary — and there are at most O(#partitions + mega-
-      // conversation spans) of those regardless of how many conversations
-      // exist, so the broadcast stays tiny at any corpus size (a 10^9-conv
-      // table must never ship 10^9 offset rows through the driver).
-      val wOff = Window.partitionBy("conv_id").orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = ranged.groupBy($"_pid", $"conv_id").count()
-        .withColumn("_off", coalesce(sum($"count").over(wOff), lit(0L)))
-        .filter($"_off" > 0) // boundary-spanning (pid, conv) pairs only
-        .select($"_pid", $"conv_id", $"_off")
-      // left broadcast hash join streams `ranged` in place: within-partition
-      // sort order survives, so the local running counter below stays valid
-      ranged.join(broadcast(offsets), Seq("_pid", "conv_id"), "left")
-        .na.fill(0L, Seq("_off"))
-        .as[ExtractedTurnWithPid].mapPartitions { it =>
-          var lastConv: String = null
-          var local = 0L
-          it.map { r =>
-            if (r.conv_id != lastConv) { lastConv = r.conv_id; local = 0L }
-            local += 1
-            r.toExtracted(r._off + local)
-          }
+      .localCheckpoint(true)
+    // prefix offsets per (partition, conversation), computed DISTRIBUTED:
+    // a window partitioned by conv_id over the per-(partition, conv)
+    // counts yields each conversation's running prefix. Only rows with a
+    // NON-ZERO offset matter — i.e. conversations that span a range-
+    // partition boundary — and there are at most O(#partitions + mega-
+    // conversation spans) of those regardless of how many conversations
+    // exist, so the broadcast stays tiny at any corpus size (a 10^9-conv
+    // table must never ship 10^9 offset rows through the driver).
+    val wOff = Window.partitionBy("conv_id").orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy($"_pid", $"conv_id").count()
+      .withColumn("_off", coalesce(sum($"count").over(wOff), lit(0L)))
+      .filter($"_off" > 0) // boundary-spanning (pid, conv) pairs only
+      .select($"_pid", $"conv_id", $"_off")
+    // left broadcast hash join streams `ranged` in place: within-partition
+    // sort order survives, so the local running counter below stays valid
+    ranged.join(broadcast(offsets), Seq("_pid", "conv_id"), "left")
+      .na.fill(0L, Seq("_off"))
+      .as[ExtractedTurnWithPid].mapPartitions { it =>
+        var lastConv: String = null
+        var local = 0L
+        it.map { r =>
+          if (r.conv_id != lastConv) { lastConv = r.conv_id; local = 0L }
+          local += 1
+          r.toExtracted(r._off + local)
         }
-      // `ranged` stays cached so the offsets pass and the output pass see
-      // the same range-partition assignment; caller unpersists via
-      // spark.catalog.clearCache() when done.
-    } catch { case e: Throwable => ranged.unpersist(); throw e }
+      }
   }
 
   /** conv_bucket assignment used for output partitioning / lineage. */

@@ -50,16 +50,22 @@ object Sinks {
   def upsertPagesMergeSemantics(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val cols = existing.columns.toSeq
     val e = existing.select(cols.map(c => col(c).as(s"e_$c")): _*)
-    val i = incoming.select(cols.map(c => col(c).as(s"i_$c")): _*)
+    // explicit presence flag, NOT the join key's nullness: an incoming row
+    // with a null url never equi-joins, and dispatching on `i_url IS NULL`
+    // would emit it as an all-null row instead of inserting it — real
+    // MERGE INTO inserts every unmatched source row
+    val i = incoming.select(lit(true).as("i_present") +:
+      cols.map(c => col(c).as(s"i_$c")): _*)
     val joined = e.join(i, col("e_url") === col("i_url"), "full_outer")
+    val fromIncoming = coalesce(col("i_present"), lit(false))
     val merged = cols.map {
       case "first_indexed_at" =>
-        when(col("i_url").isNull, col("e_first_indexed_at")) // unmatched existing
+        when(!fromIncoming, col("e_first_indexed_at")) // unmatched existing
           .otherwise(least(col("i_first_indexed_at"),
             coalesce(col("e_first_indexed_at"), col("i_first_indexed_at"))))
           .as("first_indexed_at")
       case c =>
-        when(col("i_url").isNull, col(s"e_$c")).otherwise(col(s"i_$c")).as(c)
+        when(!fromIncoming, col(s"e_$c")).otherwise(col(s"i_$c")).as(c)
     }
     joined.select(merged: _*)
   }

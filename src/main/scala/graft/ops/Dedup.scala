@@ -47,34 +47,40 @@ object Dedup {
       portable: Boolean = false, maxDfPct: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // persisted, never unpersisted: lazy plan — see ngramJaccardPairs note
+    // persisted, reused three times (band explode + both candidate joins);
+    // the operator owns the lifecycle: the small above-threshold pair
+    // result is materialized via localCheckpoint and the signature cache
+    // is released before returning — see ngramJaccardPairs.
     val sigs = minHashSignatures(docs, n, k, maxDf, portable, maxDfPct)
       .select(col("doc_id"), array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bandKey(b: Int): Column = {
-      val parts = (b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1))
-      if (portable) substring(md5(concat_ws(",", parts: _*)), 1, 16)
-      else xxhash64(parts: _*).cast("string")
-    }
-    val banded = sigs.select(col("doc_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val agree = (0 until k).map(j =>
-      when(element_at(col("sa"), j + 1) === element_at(col("sb"), j + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (agree * 1000 / k).cast("long").as("est_jaccard_x1000"))
-      .filter(col("est_jaccard_x1000") >= minEstJaccardX1000)
-      .orderBy("doc_a", "doc_b")
+    try {
+      def bandKey(b: Int): Column = {
+        val parts = (b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1))
+        if (portable) substring(md5(concat_ws(",", parts: _*)), 1, 16)
+        else xxhash64(parts: _*).cast("string")
+      }
+      val banded = sigs.select(col("doc_id"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val agree = (0 until k).map(j =>
+        when(element_at(col("sa"), j + 1) === element_at(col("sb"), j + 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (agree * 1000 / k).cast("long").as("est_jaccard_x1000"))
+        .filter(col("est_jaccard_x1000") >= minEstJaccardX1000)
+        .localCheckpoint(true)
+        .orderBy("doc_a", "doc_b")
+    } finally sigs.unpersist()
   }
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold among LSH

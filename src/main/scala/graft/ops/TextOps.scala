@@ -67,20 +67,21 @@ object TextOps {
   /** Exact dedup: canonical = min doc_id per md5(normalized text). The
     * reference's analog is `seen_texts` / crawl `visited`
     * (`/root/reference/sidecar/chunker.py:663,699`). Hash-groupBy: one
-    * shuffle of (hash, id) pairs only — text never shuffles. */
+    * shuffle of (hash, id) pairs only — text never shuffles. Output is
+    * UNORDERED (library operator — pipeline consumers like the curation
+    * semi-join must not pay a pointless range-shuffle sort; queries that
+    * need total order sort at the query layer). */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.select(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("text_hash"),
         col("doc_id"))
       .groupBy("text_hash")
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
-      .orderBy("text_hash")
 
   /** Normalized-text md5 fingerprint per document (SQL-parity variant of
-    * document fingerprinting). */
+    * document fingerprinting). Unordered, like [[exactDedup]]. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
-      .orderBy("doc_id")
 
   /** Rolling polynomial hash (Rabin-Karp style) — the scale path for
     * fingerprinting without md5's cost; pure Scala, exposed for tests and
@@ -150,24 +151,30 @@ object TextOps {
       maxDf: Option[Long] = None, maxDfPct: Option[Int] = None): DataFrame = {
     // persisted: referenced three times below (sizes + both self-join
     // sides); without it the explode+distinct pipeline runs three times.
-    // NOTE: never unpersisted — the returned plan is lazy, so the cache
-    // lives until session clearCache(); one-shot callers (Verify/Bench run
-    // each query once) are bounded, long-lived sessions should clear.
+    // The operator OWNS the cache lifecycle: the (small, above-threshold)
+    // pair result is materialized eagerly via localCheckpoint, then the
+    // shingle cache is released — nothing is left pinned in the session's
+    // cacheManager. Checkpoint blocks free when the returned Dataset is
+    // GC'd; an executor loss fails the consuming job loudly instead of
+    // silently recomputing (acceptable for a bounded result set).
     val shingled = shingles(docs, n, maxDf, maxDfPct)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = shingled.as("a").join(shingled.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard_x1000",
-        (col("inter") * 1000L / (col("n_a") + col("n_b") - col("inter"))).cast("long"))
-      .filter(col("jaccard_x1000") >= thresholdX1000)
-      .select("doc_a", "doc_b", "jaccard_x1000")
-      .orderBy("doc_a", "doc_b")
+    try {
+      val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = shingled.as("a").join(shingled.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard_x1000",
+          (col("inter") * 1000L / (col("n_a") + col("n_b") - col("inter"))).cast("long"))
+        .filter(col("jaccard_x1000") >= thresholdX1000)
+        .select("doc_a", "doc_b", "jaccard_x1000")
+        .localCheckpoint(true)
+        .orderBy("doc_a", "doc_b")
+    } finally shingled.unpersist()
   }
 
   /** Word n-grams as a column of space-joined shingles (pure expressions:

@@ -173,13 +173,43 @@ object VectorOps {
     Array.tabulate(nCells)(c =>
       Array.tabulate(dim)(d => planeComponent(c + 1000, d).toFloat))
 
+  /** One Lloyd (spherical k-means) refinement pass: assign every vector to
+    * its nearest centroid by cosine, recompute each cell's mean, and
+    * L2-normalize it; cells that captured no vectors keep their previous
+    * centroid. One distributed pass — per-dim partial sums via `dim`
+    * element_at aggregates (map-side combinable, NO explode: only k rows
+    * of (cell, dim sums) shuffle) — then the k×dim codebook collects to
+    * the driver, which is correct at any corpus size because the IVF
+    * codebook must broadcast anyway. Repeat for more iterations. */
+  def lloydRefine(emb: DataFrame, centroids: Array[Array[Float]]): Array[Array[Float]] = {
+    val dim = centroids.head.length
+    val assigned = ivfAssign(emb, centroids)
+    val aggs = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    val rows = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*).collect()
+    val out = centroids.map(_.clone())
+    rows.foreach { r =>
+      val cell = r.getInt(0)
+      val n = r.getLong(dim + 1).toDouble
+      val mean = Array.tabulate(dim)(i => r.getDouble(i + 1) / n)
+      val norm = math.sqrt(mean.map(v => v * v).sum)
+      if (norm > 0) out(cell) = mean.map(v => (v / norm).toFloat)
+    }
+    out
+  }
+
   /** IVF ANN: assign vectors to cells once (store partitioned by `cell` at
     * scale → partition pruning), probe the `nProbe` cells nearest to the
-    * query, exact-rerank inside them. */
+    * query, exact-rerank inside them. `lloydIters` Lloyd passes refine the
+    * deterministic seed centroids into data-dependent ones (real recall on
+    * clustered data); the oracle-checked query keeps `lloydIters = 0` so
+    * the DuckDB mirror can inline the same constants. */
   def ivfTopK(emb: DataFrame, dim: Int, query: Array[Float], k: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      excludeId: Option[Long] = None): DataFrame = {
-    val centroids = deterministicCentroids(nCells, dim)
+      excludeId: Option[Long] = None, lloydIters: Int = 0): DataFrame = {
+    val centroids = (0 until lloydIters).foldLeft(
+      deterministicCentroids(nCells, dim))((c, _) => lloydRefine(emb, c))
     // double-precision accumulation, matching the SQL/expression cosine
     // bit-for-bit so probe-cell selection agrees with the oracle
     def cosLocal(a: Array[Float], b: Array[Float]): Double = {

@@ -94,6 +94,19 @@ object Gateway {
           regexp_replace(lastSeg, "[-_]", " ").as("detected_topic")))
   }
 
+  /** JS `encodeURIComponent` parity (gateway.js:79,237-270 encodes BOTH the
+    * query and the requested path — `/a/b` → `%2Fa%2Fb`): percent-encode
+    * every byte of the UTF-8 form except `A-Za-z0-9 - _ . ! ~ * ' ( )`.
+    * Built on the codegen'd `url_encode` (java.net.URLEncoder semantics)
+    * plus fixups for the 6 places URLEncoder diverges: space (`+` vs `%20`;
+    * safe because URLEncoder has already turned literal `+` into `%2B`) and
+    * the five marks URLEncoder escapes but encodeURIComponent keeps. */
+  def encodeUriComponent(c: Column): Column =
+    Seq("+" -> "%20", "%21" -> "!", "%7E" -> "~", "%27" -> "'",
+        "%28" -> "(", "%29" -> ")")
+      .foldLeft(url_encode(c)) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to)) }
+
   /** extractIntentData defaults (gateway.js:214-224). */
   def withIntentDefaults(df: DataFrame): DataFrame = df
     .withColumn("depth", coalesce(col("depth"), lit("standard")))
@@ -103,19 +116,23 @@ object Gateway {
 
   /** buildTailoredResponse's recommended endpoints + query hints
     * (gateway.js:230-276) for Mode-2 rows. Expects `intent`, `query`,
-    * `format`, `depth`, `path`, `detected_type` columns (paths here are
-    * URL-safe, so encodeURIComponent is the identity). */
+    * `format`, `depth`, `path`, `detected_type` columns. The query AND the
+    * requested path are percent-encoded exactly like the reference's
+    * `encodeURIComponent(query)` / `encodeURIComponent(context.page_requested)`
+    * — a path `/a/b` renders as `url=%2Fa%2Fb`. */
   def tailoredResponse(df: DataFrame, baseUrl: String): DataFrame = {
     val hasQuery = length(col("query")) > 0
+    val encQ = encodeUriComponent(col("query"))
+    val encPath = encodeUriComponent(col("path"))
     val searchEp = struct(
-      concat(lit(s"$baseUrl/openfeeder?q="), col("query"),
+      concat(lit(s"$baseUrl/openfeeder?q="), encQ,
         lit("&format="), col("format")).as("url"),
       lit("high").as("relevance"),
       lit("Content filtered to match your specific question").as("description"))
     val pageEp = struct(
       when(col("detected_type").isin("product", "category"),
-          concat(lit(s"$baseUrl/openfeeder/products?url="), col("path")))
-        .otherwise(concat(lit(s"$baseUrl/openfeeder?url="), col("path"))).as("url"),
+          concat(lit(s"$baseUrl/openfeeder/products?url="), encPath))
+        .otherwise(concat(lit(s"$baseUrl/openfeeder?url="), encPath)).as("url"),
       when(hasQuery, "medium").otherwise("high").as("relevance"),
       when(col("detected_type").isin("product", "category"),
           lit("Product details for the requested page"))
@@ -130,10 +147,10 @@ object Gateway {
         .otherwise(array(pageEp, browseEp))
     val hints =
       when(hasQuery, array(
-        concat(lit("GET /openfeeder?q="), col("query")),
-        concat(lit("GET /openfeeder?q="), col("query"),
+        concat(lit("GET /openfeeder?q="), encQ),
+        concat(lit("GET /openfeeder?q="), encQ,
           lit("&format="), col("format"), lit("&depth="), col("depth"))))
-      .otherwise(array(concat(lit("GET /openfeeder?url="), col("path"))))
+      .otherwise(array(concat(lit("GET /openfeeder?url="), encPath)))
     df.withColumn("recommended_endpoints", endpoints)
       .withColumn("query_hints", hints)
       .withColumn("tailored", lit(true))

@@ -151,6 +151,129 @@ object Queries {
       upper(substr(source,1,1)) || substr(source,2) AS topic
       FROM documents ORDER BY doc_id"""))
 
+  /** P15: the FULL WooCommerce product envelope —
+    * `class-products-api.php:224-278` item shape (url/title/sku/price/
+    * regular_price/sale_price/on_sale/availability/stock_quantity/
+    * categories/tags/summary/variants/images) with `get_variants`
+    * (305-348: sku + cleaned attributes map + price + availability per
+    * variation) and `get_availability` (289-297). Prices are
+    * `DecimalType(18,2)`-backed and rendered as 2-decimal STRINGS at the
+    * edge, exactly like `wc_format_decimal(p, 2)`; absent sale_price /
+    * stock_quantity render as JSON null (PHP null). The DuckDB mirror
+    * renders prices from exact integer cents (`c//100 || '.' || lpad`),
+    * identical to the decimal cast for 2-decimal inputs, because DuckDB's
+    * double→DECIMAL rounding diverges from Spark's HALF_UP near ties.
+    * Chunks are deliberately omitted — the adapter chunker has its own
+    * oracle (e_adapter_docs_oracle).
+    *
+    * Plan shape: lineitem variants aggregate once (map-side combinable,
+    * shuffles (partkey, narrow struct)), then joins the filtered part dim;
+    * parts without variant rows get `[]` like PHP's simple products. */
+  private val p15ProductEnvelope = Q(
+    (s, dir) => {
+      val variantType = "array<struct<sku:string,attributes:struct<status:string," +
+        "flag:string>,price:string,availability:string>>"
+      val part = rd(s, dir, "part").filter(col("p_partkey") <= 500)
+      // variable products (partkey % 3 = 0) get their lineitems as variants
+      val variants = rd(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 500 && pmod(col("l_partkey"), lit(3)) === 0)
+        .select(col("l_partkey"), struct(
+          concat(col("l_partkey"), lit("-"), col("l_orderkey"), lit("-"),
+            col("l_linenumber")).as("sku"),
+          struct(col("l_linestatus").as("status"), col("l_returnflag").as("flag"))
+            .as("attributes"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price"),
+          when(col("l_quantity") < 10, "out_of_stock")
+            .when(col("l_quantity") > 40, "on_backorder")
+            .otherwise("in_stock").as("availability")).as("v"))
+        .groupBy("l_partkey")
+        .agg(sort_array(collect_list(col("v"))).as("variants"))
+      val priceDec = col("p_retailprice").cast("decimal(18,2)")
+      val onSale = pmod(col("p_partkey"), lit(4)) === 0
+      // sale = 90% in EXACT integer-cents arithmetic (floor division both
+      // engines — `div` here, `//` in the mirror); a double multiply would
+      // hit engine-specific rounding at half-cent boundaries
+      val saleCents = expr(
+        "(CAST(round(p_retailprice * 100) AS BIGINT) * 9) div 10")
+      val saleStr = concat(expr("_sale_cents div 100"), lit("."),
+        lpad(pmod(col("_sale_cents"), lit(100)).cast("string"), 2, "0"))
+      part.withColumn("_sale_cents", saleCents)
+        .join(variants, part("p_partkey") === variants("l_partkey"), "left")
+        .select(
+          col("p_partkey"),
+          priceDec.cast("string").as("price"),
+          when(onSale, saleStr).as("sale_price"),
+          onSale.as("on_sale"),
+          to_json(struct(
+            concat(lit("/product/p-"), col("p_partkey")).as("url"),
+            col("p_name").as("title"),
+            concat(col("p_brand"), lit("-"), col("p_partkey")).as("sku"),
+            priceDec.cast("string").as("price"),
+            priceDec.cast("string").as("regular_price"),
+            when(onSale, saleStr).as("sale_price"),
+            onSale.as("on_sale"),
+            when(col("p_size") < 5, "out_of_stock")
+              .when(col("p_size") > 40, "on_backorder")
+              .otherwise("in_stock").as("availability"),
+            when(pmod(col("p_partkey"), lit(2)) === 0, col("p_size") * 10)
+              .as("stock_quantity"),
+            array(col("p_brand"), col("p_type")).as("categories"),
+            split(col("p_type"), " ").as("tags"),
+            col("p_name").as("summary"),
+            coalesce(col("variants"), expr(s"CAST(array() AS $variantType)"))
+              .as("variants"),
+            array(concat(lit("/img/p-"), col("p_partkey"), lit(".jpg")))
+              .as("images")),
+            Map("ignoreNullFields" -> "false")).as("envelope"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH vr AS (
+        SELECT l_partkey, struct_pack(
+            sku := l_partkey || '-' || l_orderkey || '-' || l_linenumber,
+            attributes := struct_pack(status := l_linestatus, flag := l_returnflag),
+            price := (CAST(round(l_extendedprice*100) AS BIGINT) // 100) || '.'
+              || lpad(CAST(CAST(round(l_extendedprice*100) AS BIGINT) % 100 AS VARCHAR), 2, '0'),
+            availability := CASE WHEN l_quantity < 10 THEN 'out_of_stock'
+              WHEN l_quantity > 40 THEN 'on_backorder' ELSE 'in_stock' END) AS v
+        FROM lineitem WHERE l_partkey <= 500 AND l_partkey % 3 = 0
+      ), v AS (
+        -- ORDER BY the whole struct (sku can tie when the synthetic
+        -- lineitem repeats an (orderkey, linenumber) pair): matches
+        -- Spark's sort_array whole-struct lexicographic order
+        SELECT l_partkey, list(v ORDER BY v) AS variants
+        FROM vr GROUP BY l_partkey
+      ), p AS (
+        SELECT *,
+          CAST(round(p_retailprice*100) AS BIGINT) AS cents,
+          (CAST(round(p_retailprice*100) AS BIGINT) * 9) // 10 AS sale_cents,
+          p_partkey % 4 = 0 AS on_sale
+        FROM part WHERE p_partkey <= 500
+      )
+      SELECT p_partkey,
+        (cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS price,
+        CASE WHEN on_sale THEN (sale_cents // 100) || '.'
+          || lpad(CAST(sale_cents % 100 AS VARCHAR), 2, '0') END AS sale_price,
+        on_sale,
+        to_json(struct_pack(
+          url := '/product/p-' || p_partkey,
+          title := p_name,
+          sku := p_brand || '-' || p_partkey,
+          price := (cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0'),
+          regular_price := (cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0'),
+          sale_price := CASE WHEN on_sale THEN (sale_cents // 100) || '.'
+            || lpad(CAST(sale_cents % 100 AS VARCHAR), 2, '0') END,
+          on_sale := on_sale,
+          availability := CASE WHEN p_size < 5 THEN 'out_of_stock'
+            WHEN p_size > 40 THEN 'on_backorder' ELSE 'in_stock' END,
+          stock_quantity := CASE WHEN p_partkey % 2 = 0 THEN p_size * 10 END,
+          categories := [p_brand, p_type],
+          tags := string_split(p_type, ' '),
+          summary := p_name,
+          variants := coalesce(v.variants, []),
+          images := ['/img/p-' || p_partkey || '.jpg'])) AS envelope
+      FROM p LEFT JOIN v ON v.l_partkey = p.p_partkey
+      ORDER BY p_partkey"""))
+
   /** W2: stable in-group ordering — row_number per conversation analog
     * (indexer.py:117,246-247). */
   private val w2StableOrder = Q(
@@ -263,6 +386,120 @@ object Queries {
         lit("+00:00\"}")).cast("binary")).as("sync_token")),
     Some("""SELECT to_base64(encode('{"t": "' || strftime(max(ts), '%Y-%m-%dT%H:%M:%S')
       || '+00:00"}')) AS sync_token FROM events"""))
+
+  /** The COMPOSED differential-sync envelope — the reference's second entry
+    * point driven end-to-end as ONE Catalyst plan
+    * (`/root/reference/sidecar/main.py:393-472`,
+    * `/root/reference/sidecar/indexer.py:339-377`): window filter on
+    * indexed_at, added/updated split on first_indexed_at vs since,
+    * tombstones since, counts, sync_token, and the full JSON body
+    * `{openfeeder_version, sync:{as_of, sync_token, counts, since, until},
+    * added[], updated[], deleted[]}` with the reference's page_obj item
+    * shape (url/title/published/updated/summary, nulls rendered).
+    *
+    * Input synthesis: the events table stands in for the pages store —
+    * url from event_id, indexed_at = ts, first_indexed_at derived
+    * deterministically (ts − (event_id % 20) days) so both buckets
+    * populate; error events are the tombstone stream. `as_of` is pinned to
+    * the `until` bound (the reference stamps wall-clock now(); documented
+    * delta for determinism) and the token goes through the real
+    * [[graft.extract.SyncCodec]].
+    *
+    * Scale shape: one scan + partial-aggregated collect_lists into a
+    * single-row envelope — the single reducer IS the semantics (one HTTP
+    * response body, bounded by the sync window, which a real deployment
+    * paginates); no window functions, no driver-side assembly. */
+  private val xSyncEnvelope = Q(
+    (s, dir) => {
+      val sinceIso = "2024-01-10T00:00:00+00:00"
+      val untilIso = "2024-01-20T00:00:00+00:00"
+      val token = graft.extract.SyncCodec.encodeSyncToken(untilIso)
+      val sinceTs = lit("2024-01-10 00:00:00").cast("timestamp")
+      val untilTs = lit("2024-01-20 00:00:00").cast("timestamp")
+      def iso(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+      val pages = rd(s, dir, "events").select(
+        concat(lit("/page/"), col("event_id")).as("url"),
+        col("event_type").as("title"),
+        col("ts").as("indexed_at"),
+        expr("timestampadd(DAY, -CAST(event_id % 20 AS INT), ts)").as("first_indexed_at"),
+        col("event_id"))
+      val win = pages
+        .filter(col("indexed_at") >= sinceTs && col("indexed_at") <= untilTs)
+        .withColumn("is_added", col("first_indexed_at") >= sinceTs)
+        .withColumn("item", struct(
+          col("url"),
+          col("title"),
+          when(pmod(col("event_id"), lit(3)) =!= 0, iso(col("first_indexed_at")))
+            .as("published"), // "or None" — null when absent, like page_obj
+          iso(col("indexed_at")).as("updated"),
+          concat(lit("Event "), col("event_id")).as("summary")))
+      val buckets = win.agg(
+        sort_array(collect_list(when(col("is_added"), col("item")))).as("added"),
+        sort_array(collect_list(when(!col("is_added"), col("item")))).as("updated"))
+      val dels = rd(s, dir, "events")
+        .filter(col("event_type") === "error" && col("ts") >= sinceTs)
+        .select(struct(concat(lit("/page/"), col("event_id")).as("url"),
+          iso(col("ts")).as("deleted_at")).as("t"))
+        .agg(sort_array(collect_list(col("t"))).as("deleted"))
+      buckets.crossJoin(dels).select(
+        size(col("added")).cast("long").as("n_added"),
+        size(col("updated")).cast("long").as("n_updated"),
+        size(col("deleted")).cast("long").as("n_deleted"),
+        lit(token).as("sync_token"),
+        to_json(struct(
+          lit("1.0.2").as("openfeeder_version"),
+          struct(
+            lit(untilIso).as("as_of"),
+            lit(token).as("sync_token"),
+            struct(size(col("added")).as("added"),
+              size(col("updated")).as("updated"),
+              size(col("deleted")).as("deleted")).as("counts"),
+            lit(sinceIso).as("since"),
+            lit(untilIso).as("until")).as("sync"),
+          col("added"), col("updated"), col("deleted")),
+          Map("ignoreNullFields" -> "false")).as("envelope"))
+    },
+    Some("""WITH pages AS (
+        SELECT '/page/' || event_id AS url, event_type AS title, ts AS indexed_at,
+               ts - (event_id % 20) * INTERVAL 1 DAY AS first_indexed_at, event_id
+        FROM events
+      ), win AS (
+        SELECT first_indexed_at >= TIMESTAMP '2024-01-10 00:00:00' AS is_added,
+          url,
+          struct_pack(
+            url := url, title := title,
+            published := CASE WHEN event_id % 3 <> 0
+              THEN strftime(first_indexed_at, '%Y-%m-%dT%H:%M:%S') ELSE NULL END,
+            updated := strftime(indexed_at, '%Y-%m-%dT%H:%M:%S'),
+            summary := 'Event ' || event_id) AS item
+        FROM pages
+        WHERE indexed_at >= TIMESTAMP '2024-01-10 00:00:00'
+          AND indexed_at <= TIMESTAMP '2024-01-20 00:00:00'
+      ), buckets AS (
+        SELECT list(item ORDER BY url) FILTER (WHERE is_added) AS added,
+               list(item ORDER BY url) FILTER (WHERE NOT is_added) AS updated
+        FROM win
+      ), dels AS (
+        SELECT list(struct_pack(url := '/page/' || event_id,
+                 deleted_at := strftime(ts, '%Y-%m-%dT%H:%M:%S'))
+                 ORDER BY ('/page/' || event_id)) AS deleted
+        FROM events WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      )
+      SELECT CAST(len(added) AS BIGINT) AS n_added,
+             CAST(len(updated) AS BIGINT) AS n_updated,
+             CAST(len(deleted) AS BIGINT) AS n_deleted,
+             to_base64(encode('{"t": "2024-01-20T00:00:00+00:00"}')) AS sync_token,
+             to_json(struct_pack(
+               openfeeder_version := '1.0.2',
+               sync := struct_pack(
+                 as_of := '2024-01-20T00:00:00+00:00',
+                 sync_token := to_base64(encode('{"t": "2024-01-20T00:00:00+00:00"}')),
+                 counts := struct_pack(added := len(added), updated := len(updated),
+                   deleted := len(deleted)),
+                 since := '2024-01-10T00:00:00+00:00',
+                 until := '2024-01-20T00:00:00+00:00'),
+               added := added, updated := updated, deleted := deleted)) AS envelope
+      FROM buckets, dels"""))
 
   // ======================================================================
   // §2.7 joins & set ops
@@ -425,13 +662,15 @@ object Queries {
     })
 
   private val xExactDedup = Q(
-    (s, dir) => TextOps.exactDedup(rd(s, dir, "documents")),
+    // ordering applied at the query layer (oracle comparability only);
+    // the library operator is unordered so pipeline consumers don't sort
+    (s, dir) => TextOps.exactDedup(rd(s, dir, "documents")).orderBy("text_hash"),
     Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash,
       min(doc_id) AS canonical_id, count(*) AS dup_count FROM documents
       GROUP BY 1 ORDER BY text_hash"""))
 
   private val xFingerprint = Q(
-    (s, dir) => TextOps.fingerprint(rd(s, dir, "documents")),
+    (s, dir) => TextOps.fingerprint(rd(s, dir, "documents")).orderBy("doc_id"),
     Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
@@ -972,6 +1211,98 @@ object Queries {
       CASE WHEN doc_id % 5 = 0 THEN 'answer-question' ELSE NULL END AS intent
       FROM documents"""
 
+  /** Deterministic synthetic request log for the analytics event surface:
+    * gatewayRequests plus status/duration/rate-limit/search/sync columns
+    * and a 5-way UA cycle (human / GPTBot / ClaudeBot / Googlebot / empty)
+    * so every detect_bot branch — known bot, human-or-unknown, empty-UA —
+    * is exercised. */
+  private def analyticsRequests(s: SparkSession, dir: String): DataFrame =
+    gatewayRequests(s, dir)
+      .withColumn("ua",
+        when(pmod(col("doc_id"), lit(5)) === 0, "Mozilla/5.0 (human browser)")
+          .when(pmod(col("doc_id"), lit(5)) === 1, "GPTBot/1.0 (+https://openai.com/gptbot)")
+          .when(pmod(col("doc_id"), lit(5)) === 2, "ClaudeBot/1.0")
+          .when(pmod(col("doc_id"), lit(5)) === 3, "Googlebot/2.1 (+http://www.google.com/bot.html)")
+          .otherwise(""))
+      .withColumn("status_code",
+        when(pmod(col("doc_id"), lit(17)) === 0, 500)
+          .when(pmod(col("doc_id"), lit(13)) === 0, 404)
+          .otherwise(200))
+      .withColumn("duration_ms", (pmod(col("doc_id"), lit(90)) + 10).cast("long"))
+      .withColumn("rate_limited", pmod(col("doc_id"), lit(19)) === 0)
+      .withColumn("q_term",
+        when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("term-"), pmod(col("doc_id"), lit(7)))))
+      .withColumn("is_sync", pmod(col("doc_id"), lit(6)) === 0)
+      .withColumn("day", date_format(
+        date_add(lit("2024-01-01").cast("date"), pmod(col("doc_id"), lit(10)).cast("int")),
+        "yyyy-MM-dd"))
+
+  private def analyticsRequestsSql: String = {
+    val botName = "CASE WHEN ua IS NULL OR ua = '' THEN 'unknown' " +
+      Analytics.BotFamilies.map { case (p, _) =>
+        s"WHEN contains(lower(ua), '${p.toLowerCase(java.util.Locale.ROOT)}') THEN '$p'"
+      }.mkString(" ") + " ELSE 'human-or-unknown' END"
+    val botFam = "CASE WHEN ua IS NULL OR ua = '' THEN 'unknown' " +
+      Analytics.BotFamilies.map { case (p, f) =>
+        s"WHEN contains(lower(ua), '${p.toLowerCase(java.util.Locale.ROOT)}') THEN '$f'"
+      }.mkString(" ") + " ELSE 'unknown' END"
+    s"""SELECT *,
+      CASE WHEN doc_id % 17 = 0 THEN 500 WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status_code,
+      CAST(doc_id % 90 + 10 AS BIGINT) AS duration_ms,
+      doc_id % 19 = 0 AS rate_limited,
+      CASE WHEN doc_id % 4 = 0 THEN 'term-' || (doc_id % 7) END AS q_term,
+      doc_id % 6 = 0 AS is_sync,
+      strftime(DATE '2024-01-01' + CAST(doc_id % 10 AS INT), '%Y-%m-%d') AS day,
+      $botName AS bot_name, $botFam AS bot_family
+      FROM (SELECT * REPLACE (CASE doc_id % 5
+        WHEN 0 THEN 'Mozilla/5.0 (human browser)'
+        WHEN 1 THEN 'GPTBot/1.0 (+https://openai.com/gptbot)'
+        WHEN 2 THEN 'ClaudeBot/1.0'
+        WHEN 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+        ELSE '' END AS ua)
+      FROM ($gatewayRequestsSql))"""
+  }
+
+  private def analyticsEventsSql: String =
+    s"""SELECT doc_id, method, path, status_code, duration_ms, day,
+      bot_name, bot_family,
+      regexp_extract(path, '^/[^/]*') AS endpoint,
+      unnest(list_filter([
+        CASE WHEN rate_limited THEN 'api.ratelimit' END,
+        CASE WHEN NOT rate_limited AND status_code < 500 THEN 'api.request' END,
+        CASE WHEN NOT rate_limited AND status_code < 500 AND bot_family <> 'unknown' THEN 'api.bot' END,
+        CASE WHEN NOT rate_limited AND status_code >= 400 THEN 'api.error' END,
+        CASE WHEN NOT rate_limited AND status_code = 200 AND q_term IS NOT NULL THEN 'api.search' END,
+        CASE WHEN NOT rate_limited AND status_code = 200 AND q_term IS NULL AND is_sync THEN 'api.sync' END
+      ], x -> x IS NOT NULL)) AS event_type
+      FROM ($analyticsRequestsSql)"""
+
+  /** A7: the 6-typed analytics event stream derived from the request log —
+    * analytics_provider.py:44-191 event taxonomy under main.py:225-300
+    * emission rules (rate-limited → ratelimit only; api.request + api.bot +
+    * search/sync/error otherwise). */
+  private val a7AnalyticsEvents = Q(
+    (s, dir) => Analytics.deriveEvents(analyticsRequests(s, dir))
+      .select("doc_id", "event_type", "endpoint", "method", "status_code",
+        "duration_ms", "bot_name", "bot_family", "day")
+      .orderBy("doc_id", "event_type"),
+    Some(s"""SELECT doc_id, event_type, endpoint, method, status_code,
+      duration_ms, bot_name, bot_family, day
+      FROM ($analyticsEventsSql) ORDER BY doc_id, event_type"""))
+
+  /** A8: the ANALYTICS.md headline rollup — events by bot_family ×
+    * endpoint × day. */
+  private val a8AnalyticsRollup = Q(
+    (s, dir) => Analytics.rollup(Analytics.deriveEvents(analyticsRequests(s, dir)))
+      .orderBy("bot_family", "endpoint", "day"),
+    Some(s"""SELECT bot_family, endpoint, day, count(*) AS n_events,
+      CAST(sum(CASE WHEN event_type = 'api.request' THEN 1 ELSE 0 END) AS BIGINT) AS n_requests,
+      CAST(sum(CASE WHEN event_type = 'api.bot' THEN 1 ELSE 0 END) AS BIGINT) AS n_bot,
+      CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
+      FROM ($analyticsEventsSql)
+      GROUP BY bot_family, endpoint, day
+      ORDER BY bot_family, endpoint, day"""))
+
   /** Gateway mode routing + context detection (gateway.js:18-75,319-346),
     * every branch oracle-checked. */
   private val g1GatewayRoute = Q(
@@ -1023,7 +1354,11 @@ object Queries {
     })
 
   /** Mode-2 tailored response synthesis (gateway.js:230-276), arrays
-    * rendered with to_json for cross-engine comparison. */
+    * rendered with to_json for cross-engine comparison. The query literal
+    * carries a space, a reserved `&`, and a non-ASCII `é` so the
+    * encodeURIComponent parity (`%20`/`%26`/`%C3%A9`, and `%2F` for path
+    * slashes) is genuinely exercised; the DuckDB mirror encodes via
+    * replace-chains over exactly this alphabet (DuckDB has no url_encode). */
   private val g2GatewayTailored = Q(
     (s, dir) => {
       val reqs = Gateway.routeRequests(gatewayRequests(s, dir))
@@ -1033,7 +1368,7 @@ object Queries {
         .withColumn("depth", lit(null).cast("string"))
         .withColumn("format", lit(null).cast("string"))
         .withColumn("query",
-          when(pmod(col("doc_id"), lit(2)) === 0, lit("spark tuning")).otherwise(lit(null).cast("string")))
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("spark & café tuning")).otherwise(lit(null).cast("string")))
         .withColumn("language", lit(null).cast("string"))
       Gateway.tailoredResponse(Gateway.withIntentDefaults(reqs), "https://site.example")
         .select(col("doc_id"), col("intent"), col("depth"), col("format"),
@@ -1050,7 +1385,15 @@ object Queries {
             AND regexp_matches(list_filter(string_split(regexp_replace(path, '/$$', ''), '/'), x -> len(x) > 0)[1],
               '(?i)^(product|products|shop|store|item|catalogue|catalog)$$')
             THEN 'product' ELSE 'other' END AS dtype,
-          CASE WHEN doc_id % 2 = 0 THEN 'spark tuning' ELSE '' END AS q
+          CASE WHEN doc_id % 2 = 0 THEN 'spark & café tuning' ELSE '' END AS q,
+          -- encodeURIComponent mirror, exact over this request log's
+          -- alphabet: paths are [a-z0-9/_-] (only '/' encodes) and the
+          -- query adds space, '&', 'é'
+          CASE WHEN doc_id % 2 = 0
+            THEN replace(replace(replace('spark & café tuning',
+              '&', '%26'), ' ', '%20'), 'é', '%C3%A9')
+            ELSE '' END AS qe,
+          replace(path, '/', '%2F') AS pe
         FROM req
         WHERE method = 'GET'
           AND NOT regexp_matches(path, '(?i)\\.(js|css|png|jpg|jpeg|gif|webp|svg|ico|woff|woff2|ttf|eot|map|json)$$')
@@ -1060,20 +1403,20 @@ object Queries {
       )
       SELECT doc_id, intent, 'standard' AS depth, 'full-text' AS format,
         to_json(CASE WHEN length(q) > 0 THEN [
-          struct_pack(url := 'https://site.example/openfeeder?q=' || q || '&format=full-text',
+          struct_pack(url := 'https://site.example/openfeeder?q=' || qe || '&format=full-text',
             relevance := 'high',
             description := 'Content filtered to match your specific question'),
           struct_pack(url := CASE WHEN dtype = 'product'
-              THEN 'https://site.example/openfeeder/products?url=' || path
-              ELSE 'https://site.example/openfeeder?url=' || path END,
+              THEN 'https://site.example/openfeeder/products?url=' || pe
+              ELSE 'https://site.example/openfeeder?url=' || pe END,
             relevance := 'medium',
             description := CASE WHEN dtype = 'product'
               THEN 'Product details for the requested page'
               ELSE 'Full content of the requested page' END)
         ] ELSE [
           struct_pack(url := CASE WHEN dtype = 'product'
-              THEN 'https://site.example/openfeeder/products?url=' || path
-              ELSE 'https://site.example/openfeeder?url=' || path END,
+              THEN 'https://site.example/openfeeder/products?url=' || pe
+              ELSE 'https://site.example/openfeeder?url=' || pe END,
             relevance := 'high',
             description := CASE WHEN dtype = 'product'
               THEN 'Product details for the requested page'
@@ -1083,9 +1426,9 @@ object Queries {
             description := 'Browse all available content')
         ] END) AS endpoints_json,
         to_json(CASE WHEN length(q) > 0 THEN
-            ['GET /openfeeder?q=' || q,
-             'GET /openfeeder?q=' || q || '&format=full-text&depth=standard']
-          ELSE ['GET /openfeeder?url=' || path] END) AS hints_json
+            ['GET /openfeeder?q=' || qe,
+             'GET /openfeeder?q=' || qe || '&format=full-text&depth=standard']
+          ELSE ['GET /openfeeder?url=' || pe] END) AS hints_json
       FROM routed ORDER BY doc_id"""
     })
 
@@ -1099,6 +1442,7 @@ object Queries {
     "p7_excluded_prefix" -> p7ExcludedPrefix,
     "p8_visibility" -> p8Visibility,
     "p12_product_filters" -> p12ProductFilters,
+    "p15_product_envelope" -> p15ProductEnvelope,
     "p13_bot_classify" -> p13BotClassify,
     "p14_url_context" -> p14UrlContext,
     "g1_gateway_route" -> g1GatewayRoute,
@@ -1109,9 +1453,12 @@ object Queries {
     "a3_last_modified" -> a3LastModified,
     "a4_chunk_count" -> a4ChunkCount,
     "a6_rate_window" -> a6RateWindow,
+    "a7_analytics_events" -> a7AnalyticsEvents,
+    "a8_analytics_rollup" -> a8AnalyticsRollup,
     "t2_sync_window" -> t2SyncWindow,
     "j5_sync_buckets" -> j5SyncBuckets,
     "t3_sync_token" -> t3SyncToken,
+    "x_sync_envelope" -> xSyncEnvelope,
     "j1_broadcast_join" -> j1BroadcastJoin,
     "j3_anti_join" -> j3AntiJoin,
     "j6_union_dedup" -> j6UnionDedup,
@@ -1142,4 +1489,17 @@ object Queries {
     "e_adapter_docs_oracle" -> eAdapterDocsOracle,
     "v_validate" -> vValidate,
   )
+
+  /** Production-hash twins for the bench. The registry's sketch queries
+    * run the md5-derived "portable" modes because those are bit-
+    * reproducible in DuckDB — that's the correctness gate — but a user
+    * runs the xxhash64 modes (same plan shape, ~4× cheaper hashing).
+    * graft.Bench times THESE for the overridden names so BENCH reports
+    * production numbers; graft.Verify keeps the portable twins. */
+  val benchProductionOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_minhash_pairs" -> ((s: SparkSession, dir: String) =>
+      Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16, bands = 4,
+        minEstJaccardX1000 = 250, portable = false, maxDfPct = Some(5))),
+    "x_simhash" -> ((s: SparkSession, dir: String) =>
+      TextOps.simHash(rd(s, dir, "documents"))))
 }

@@ -55,22 +55,40 @@ object StreamOps {
     * turns sort by (turn_idx, ts) exactly like the batch window. Positions
     * stay contiguous as long as a conversation's turns arrive in
     * batch-monotonic order (the webhook ingestion contract); each turn is
-    * extracted via the tool-dispatched pipeline on the way through. */
-  def streamingExtractWithTurnPos(turns: Dataset[Turn])
+    * extracted via the tool-dispatched pipeline on the way through.
+    *
+    * State is BOUNDED: a conversation idle past `ttlMs` of processing time
+    * is evicted (its running count is recoverable from the batch pages
+    * table — `max(turn_pos)` per conv — if it ever resumes), so the state
+    * store holds only live conversations instead of one entry per conv_id
+    * ever seen: at 10^9 historical conversations the difference is ~10s of
+    * GB of state that never evicts. `ttlMs = 0` disables expiry
+    * (deterministic tests; with a positive TTL the engine keeps running
+    * timer micro-batches, so `noNewData` never latches and
+    * `processAllAvailable()` blocks forever — production uses a real
+    * trigger interval, tests poll the sink). */
+  def streamingExtractWithTurnPos(turns: Dataset[Turn], ttlMs: Long = 300000L)
       : Dataset[graft.model.ExtractedTurn] = {
     import turns.sparkSession.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     turns.groupByKey(_.conv_id)
       .flatMapGroupsWithState[Long, graft.model.ExtractedTurn](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_: String, batch: Iterator[Turn], state: GroupState[Long]) =>
-          val sorted = batch.toVector.sortBy(t => (t.turn_idx, t.ts.getTime))
-          var pos = state.getOption.getOrElse(0L)
-          val out = sorted.map { t =>
-            pos += 1
-            ExtractJob.extractOne(t).copy(turn_pos = pos)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = batch.toVector.sortBy(t => (t.turn_idx, t.ts.getTime))
+            var pos = state.getOption.getOrElse(0L)
+            val out = sorted.map { t =>
+              pos += 1
+              ExtractJob.extractOne(t).copy(turn_pos = pos)
+            }
+            state.update(pos)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          state.update(pos)
-          out.iterator
       }
   }
 

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: the round-3 scale smoke — a corpus ~10× the per-round bench
+  * (≈15M turns; mega-conversation included) through extraction + the
+  * stable-ordering window end-to-end, plus the dedup pipeline (production
+  * xxhash64 minhash + n-gram jaccard with the in-job df cap) over a 10×
+  * documents table with a genuinely larger vocabulary (each replica
+  * rewrites doc ids into its text so shingles diverge). Validates spill
+  * behavior and the df-cap at a bigger-vocabulary scale than sf0.1.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleSmoke"`; results land in NOTES.md
+  * by hand. Env: SPARK_GRAFT_SMOKE_CONVS (default 1,280,000 ≈ 15.4M
+  * turns), SPARK_GRAFT_SMOKE_REPLICAS (default 10).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_SMOKE_CONVS", "1280000").toLong
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPLICAS", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (8 << 20).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SMOKE $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // ---- extraction + ordering at ~15M turns (10× the bench corpus) ----
+    val inputPath = s"/tmp/graft_smoke_input_$nConvs"
+    val fs = new org.apache.hadoop.fs.Path(inputPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(inputPath)))
+      timed("generate+write corpus")(
+        graft.job.Transcripts.generate(spark, nConvs, megaTurns = 200000)
+          .repartition(512).write.mode(SaveMode.Overwrite).parquet(inputPath))
+    val turns = spark.read.parquet(inputPath).as[graft.model.Turn]
+    val total = timed("extract (map-only)")(
+      graft.job.ExtractJob.extract(turns).count())
+    println(s"SMOKE turns extracted: $total")
+    val ordered = timed("extract + ordering window")(
+      graft.job.ExtractJob.withTurnPos(graft.job.ExtractJob.extract(turns)).count())
+    require(ordered == total)
+
+    // ---- dedup pipeline at 10× documents, larger vocabulary ----
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs0 = docs0.count()
+    val docs = docs0
+      .crossJoin(spark.range(replicas).select(col("id").as("rep")))
+      .select(
+        (col("doc_id") * replicas + col("rep")).as("doc_id"),
+        // rewrite the replica id INTO the text so replica shingles diverge
+        // (vocabulary actually grows ~10×; a plain copy would only test
+        // duplicate collapse, not df-cap behavior under a wider vocab)
+        concat(col("text"), lit(" replica-token-"), col("rep"),
+          lit(" doc-token-"), col("doc_id") * replicas + col("rep")).as("text"))
+    println(s"SMOKE documents: ${nDocs0 * replicas} (${nDocs0} × $replicas)")
+    val mh = timed("minhash pairs (production xxhash64, df-cap 5%)")(
+      graft.ops.Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4,
+        minEstJaccardX1000 = 250, portable = false, maxDfPct = Some(5)).count())
+    println(s"SMOKE minhash pairs: $mh")
+    val nj = timed("ngram jaccard pairs (df-cap 5%)")(
+      graft.ops.TextOps.ngramJaccardPairs(docs, n = 3, thresholdX1000 = 200,
+        maxDfPct = Some(5)).count())
+    println(s"SMOKE jaccard pairs: $nj")
+    println("SMOKE done; cacheManager empty = " +
+      spark.sharedState.cacheManager.isEmpty)
+    spark.stop()
+  }
+}

@@ -103,7 +103,10 @@ class ExtractJobSpec extends AnyFunSuite {
     val viaScalable = ExtractJob.scalableTurnPos(ex, partitions = 8).collect()
       .map(e => (e.conv_id, e.turn_idx) -> e.turn_pos).toMap
     assert(viaWindow == viaScalable)
-    spark.catalog.clearCache()
+    // the operator owns its intermediate storage: nothing left in the
+    // session cacheManager after consumption (no caller-side clearCache)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scalableTurnPos must not leave cacheManager entries behind")
   }
 
   test("scalableTurnPos computes offsets distributively (broadcast join, no driver collect)") {
@@ -115,7 +118,7 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("CollectLimit"), p.take(1500))
     out.count() // executes without driver-side materialization of offsets
-    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("salted repartition preserves rows and spreads a mega-conversation") {

@@ -86,6 +86,16 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getLong(2) == 1000L)
   }
 
+  test("near-dup operators own their cache lifecycle (no cacheManager residue)") {
+    val text = "one two three four five six seven eight"
+    val d = docsOf(1L -> text, 2L -> text,
+      3L -> "completely different words entirely here now ok")
+    TextOps.ngramJaccardPairs(d, n = 3, thresholdX1000 = 0).collect()
+    Dedup.minHashPairs(d, n = 3, k = 16, bands = 4, minEstJaccardX1000 = 0).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pair operators must release their persisted intermediates")
+  }
+
   test("minhash est jaccard correlates with true jaccard on real docs") {
     val est = Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4, minEstJaccardX1000 = 0)
       .limit(50).collect()
@@ -119,6 +129,45 @@ class OpsSpec extends AnyFunSuite {
       minEstJaccardX1000 = 500, portable = true).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
     assert(pairs.head.getLong(2) == 1000L)
+  }
+
+  test("one Lloyd pass pulls IVF centroids toward real clusters and keeps recall") {
+    val s = spark; import s.implicits._
+    val dim = 16; val nClusters = 4
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def baseVec(c: Int) = Array.tabulate(dim)(d => VectorOps.planeComponent(c + 500, d).toFloat)
+    // 200 vectors in 4 tight-ish clusters with deterministic jitter
+    val vecs = (0 until 200).map { i =>
+      val c = i % nClusters
+      val v = Array.tabulate(dim)(d =>
+        (baseVec(c)(d) + 0.25 * VectorOps.planeComponent(i + 9000, d)).toFloat)
+      (i.toLong, s"c$c", v)
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val seed = VectorOps.deterministicCentroids(8, dim)
+    val refined = VectorOps.lloydRefine(emb, seed)
+    // each cluster's best-matching centroid improves (centroids moved
+    // toward per-cell means of the actual data)
+    def fit(cents: Array[Array[Float]]): Double =
+      (0 until nClusters).map(c => cents.map(ct => cos(ct, baseVec(c))).max).min
+    assert(fit(refined) > fit(seed), s"fit ${fit(refined)} !> ${fit(seed)}")
+    // recall vs brute force does not regress and is high after refinement
+    val query = vecs(4)._3
+    val exact = VectorOps.cosineTopK(emb, query, k = 10, excludeId = Some(4L))
+      .collect().map(_.getLong(0)).toSet
+    def recall(iters: Int): Double = {
+      val got = VectorOps.ivfTopK(emb, dim, query, k = 10, nCells = 8, nProbe = 2,
+        excludeId = Some(4L), lloydIters = iters)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }
+    val r0 = recall(0); val r1 = recall(1)
+    assert(r1 >= r0, s"refined recall $r1 < unrefined $r0")
+    assert(r1 >= 0.8, s"refined recall $r1 (unrefined $r0)")
   }
 
   test("hashed featurizer: query matches its own text with score 10000") {

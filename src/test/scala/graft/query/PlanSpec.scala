@@ -155,4 +155,28 @@ class PlanSpec extends AnyFunSuite {
     assert(exIdx >= 0 && aggIdx >= 0 && aggIdx < exIdx,
       "expected partial HashAggregate above the exchange:\n" + p.take(1500))
   }
+
+  test("library dedup/fingerprint operators carry no sort (ordering is the query layer's)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pd = graft.ops.TextOps.exactDedup(docs).queryExecution.executedPlan.toString
+    assert(!pd.contains("Sort "), "exactDedup must not embed a global sort:\n" + pd.take(1200))
+    val pf = graft.ops.TextOps.fingerprint(docs).queryExecution.executedPlan.toString
+    assert(!pf.contains("Sort "), "fingerprint must not embed a global sort:\n" + pf.take(1200))
+  }
+
+  test("sync envelope composes as one plan: no window, partial collect aggs, 1-row join") {
+    val p = plan("x_sync_envelope")
+    assert(!p.contains("Window"), "envelope must not use window functions:\n" + p.take(1500))
+    // collect_list aggregates run partial-then-final (map-side combine)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(1500))
+    // the two 1-row aggregate branches cross-join via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("product envelope pushes the partkey filter into both scans (p15)") {
+    val p = plan("p15_product_envelope")
+    assert(p.contains("LessThanOrEqual(p_partkey,500)"), p.take(2000))
+    assert(p.contains("LessThanOrEqual(l_partkey,500)"), p.take(2000))
+    assert(!p.contains("Window"), p.take(1500))
+  }
 }

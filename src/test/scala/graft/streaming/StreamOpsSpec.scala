@@ -102,7 +102,7 @@ class StreamOpsSpec extends AnyFunSuite {
       s"<p>turn $idx of $conv with enough characters to chunk</p>", "browser",
       new java.sql.Timestamp((graft.job.Transcripts.EpochStart + idx * 60L) * 1000L))
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Turn]
-    val q = StreamOps.streamingExtractWithTurnPos(source.toDS())
+    val q = StreamOps.streamingExtractWithTurnPos(source.toDS(), ttlMs = 0L)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("ord")
       .start()
@@ -126,6 +126,46 @@ class StreamOpsSpec extends AnyFunSuite {
         graft.job.ExtractJob.extract(batchTurns.toDS())).collect()
       .map(e => (e.conv_id, e.turn_idx) -> e.turn_pos).toMap
     assert(viaBatch == got.view.mapValues(_._1).toMap)
+  }
+
+  test("streaming turn_pos state evicts idle conversations after the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def mk(conv: String, idx: Int) = graft.model.Turn(conv, idx, "user",
+      s"<p>turn $idx of $conv with enough characters to chunk</p>", "browser",
+      new java.sql.Timestamp((graft.job.Transcripts.EpochStart + idx * 60L) * 1000L))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Turn]
+    val q = StreamOps.streamingExtractWithTurnPos(source.toDS(), ttlMs = 500L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("evict")
+      .start()
+    // NOTE: with ProcessingTimeTimeout the engine keeps running empty
+    // micro-batches to fire timers, so `noNewData` never latches and
+    // processAllAvailable would block forever — poll the sink instead.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (spark.sql("SELECT count(*) FROM evict").head.getLong(0) < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100L)
+      assert(spark.sql("SELECT count(*) FROM evict").head.getLong(0) >= n,
+        s"sink never reached $n rows")
+    }
+    source.addData(mk("A", 0), mk("A", 1))
+    awaitRows(2)
+    // let A's processing-time deadline pass; the continuously-running
+    // timer batches sweep the timed-out state
+    Thread.sleep(1500L)
+    source.addData(mk("B", 0))
+    awaitRows(3)
+    // A's counter was evicted: a late turn restarts at position 1 (the
+    // documented contract — positions are resumable from the batch table)
+    source.addData(mk("A", 2))
+    awaitRows(4)
+    val got = spark.sql("SELECT conv_id, turn_idx, turn_pos FROM evict")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    q.stop()
+    assert(got(("A", 0)) == 1L && got(("A", 1)) == 2L)
+    assert(got(("B", 0)) == 1L)
+    assert(got(("A", 2)) == 1L, "state for idle conversation A should have been evicted")
   }
 
   test("gateway mode-1 dialogue: cold start -> respond within session; expired respond errors") {

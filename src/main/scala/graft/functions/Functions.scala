@@ -92,6 +92,15 @@ object Functions {
     spark.udf.register("of_is_llm_bot",
       udf((ua: String) =>
         ua != null && graft.query.Gateway.LlmAgents.exists(ua.contains)))
+    // analytics bot taxonomy (analytics_provider.py detect_bot semantics)
+    spark.udf.register("of_detect_bot",
+      udf((ua: String) => graft.query.Analytics.detectBotLocal(ua)._1))
+    spark.udf.register("of_bot_family",
+      udf((ua: String) => graft.query.Analytics.detectBotLocal(ua)._2))
+    // JS encodeURIComponent parity (gateway.js URL synthesis)
+    spark.udf.register("of_encode_uri",
+      udf((s: String) =>
+        if (s == null) null else graft.query.Gateway.encodeUriComponentLocal(s)))
   }
 
   /** convenience: the native expression as a DataFrame transform */

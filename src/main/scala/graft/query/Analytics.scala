@@ -48,6 +48,18 @@ object Analytics {
     chain.otherwise(pair("human-or-unknown", "unknown"))
   }
 
+  /** Driver-local twin of [[detectBot]] (same insertion-order,
+    * case-insensitive substring semantics) — powers the `of_detect_bot` /
+    * `of_bot_family` SQL functions. */
+  def detectBotLocal(ua: String): (String, String) =
+    if (ua == null || ua.isEmpty) ("unknown", "unknown")
+    else {
+      val lowered = ua.toLowerCase(java.util.Locale.ROOT)
+      BotFamilies.find { case (p, _) =>
+        lowered.contains(p.toLowerCase(java.util.Locale.ROOT))
+      }.getOrElse(("human-or-unknown", "unknown"))
+    }
+
   /** Derive the typed event stream from a request log carrying
     * (path, ua, status_code, duration_ms, rate_limited, q_term, is_sync,
     * day). One input row fans out to its event rows (explode of a bounded

@@ -107,6 +107,21 @@ object Gateway {
       .foldLeft(url_encode(c)) { case (acc, (from, to)) =>
         replace(acc, lit(from), lit(to)) }
 
+  /** Driver-local twin of [[encodeUriComponent]] — byte-for-byte JS
+    * `encodeURIComponent` (UTF-8 bytes percent-encoded, uppercase hex,
+    * unreserved set kept). Powers the `of_encode_uri` SQL function and the
+    * parity test against the column form. */
+  def encodeUriComponentLocal(s: String): String = {
+    val keep = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.!~*'()"
+    val sb = new StringBuilder(s.length + 8)
+    s.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c < 0x80 && keep.indexOf(c) >= 0) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
   /** extractIntentData defaults (gateway.js:214-224). */
   def withIntentDefaults(df: DataFrame): DataFrame = df
     .withColumn("depth", coalesce(col("depth"), lit("standard")))

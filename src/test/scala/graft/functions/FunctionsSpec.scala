@@ -87,4 +87,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spanChunks.head.getString(1) == "A paragraph with more than twenty characters.")
     assert(r.getBoolean(2) && !r.getBoolean(3))
   }
+
+  test("of_detect_bot / of_bot_family / of_encode_uri from SQL") {
+    Functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT of_detect_bot('Mozilla/5.0 ClaudeBot/1.0') AS n,
+        |       of_bot_family('Mozilla/5.0 ClaudeBot/1.0') AS f,
+        |       of_detect_bot('Mozilla/5.0 human') AS hn,
+        |       of_bot_family('') AS ef,
+        |       of_encode_uri('/a b/café?&') AS e""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "ClaudeBot" && r.getString(1) == "anthropic")
+    assert(r.getString(2) == "human-or-unknown")
+    assert(r.getString(3) == "unknown")
+    assert(r.getString(4) == "%2Fa%20b%2Fcaf%C3%A9%3F%26")
+  }
 }

@@ -173,6 +173,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("ANN store layouts prune partitions: IVF by cell, LSH by signature") {
+    import graft.ops.VectorOps
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the documented 100 TB layout: assign once, write partitioned by the
+    // coarse key, probe with partition pruning instead of a full scan
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    VectorOps.ivfAssign(emb, VectorOps.deterministicCentroids(16, 64))
+      .write.mode("overwrite").partitionBy("cell").parquet(ivfDir)
+    val probed = spark.read.parquet(ivfDir)
+      .filter(col("cell").isin(1, 3, 5))
+    val p1 = probed.queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters") && p1.contains("cell"),
+      "IVF probe must prune cell partitions at the scan:\n" + p1.take(1500))
+
+    val lshDir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    VectorOps.lshSignature(emb, dim = 64, nPlanes = 6)
+      .write.mode("overwrite").partitionBy("lsh_sig").parquet(lshDir)
+    val bucketed = spark.read.parquet(lshDir).filter(col("lsh_sig") === 9L)
+    val p2 = bucketed.queryExecution.executedPlan.toString
+    assert(p2.contains("PartitionFilters") && p2.contains("lsh_sig"),
+      "LSH bucket read must prune signature partitions:\n" + p2.take(1500))
+  }
+
   test("product envelope pushes the partkey filter into both scans (p15)") {
     val p = plan("p15_product_envelope")
     assert(p.contains("LessThanOrEqual(p_partkey,500)"), p.take(2000))

@@ -71,6 +71,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(flagged.toSet == Set(1L))
   }
 
+  test("streaming analytics rollup: watermarked day windows per bot_family x endpoint") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("an-in").toString + "/data"
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day $h%02d:00:00")
+    // day 1: 2 anthropic /docs requests + 1 openai /search; day 2: 1 anthropic
+    Seq(
+      (ts(1, 1), "anthropic", "/docs", "api.request", 10L),
+      (ts(1, 2), "anthropic", "/docs", "api.bot", 10L),
+      (ts(1, 3), "openai", "/search", "api.request", 20L),
+      (ts(2, 1), "anthropic", "/docs", "api.request", 30L))
+      .toDF("ts", "bot_family", "endpoint", "event_type", "duration_ms")
+      .write.parquet(in)
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, bot_family STRING, endpoint STRING, event_type STRING, duration_ms LONG")
+      .parquet(in)
+    val q = StreamOps.analyticsRollupStream(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("anroll")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql(
+      "SELECT day_start, bot_family, endpoint, n_events, n_requests, sum_duration_ms FROM anroll")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getString(1),
+        r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("2024-01-01", "anthropic", "/docs", 2L, 1L, 20L),
+      ("2024-01-01", "openai", "/search", 1L, 1L, 20L),
+      ("2024-01-02", "anthropic", "/docs", 1L, 1L, 30L)))
+  }
+
   test("gateway session state with TTL via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -101,6 +101,16 @@ object Functions {
     spark.udf.register("of_encode_uri",
       udf((s: String) =>
         if (s == null) null else graft.query.Gateway.encodeUriComponentLocal(s)))
+    // crawl-side parsers (crawler.py sitemap/robots semantics); for bulk
+    // gating parse once and use Robots.Rules.allowedColumn instead
+    spark.udf.register("of_sitemap_locs",
+      udf((xml: String) =>
+        if (xml == null) Seq.empty[(String, String)]
+        else graft.extract.Sitemap.parse(xml).map(e => (e.kind, e.loc))))
+    spark.udf.register("of_robots_allowed",
+      udf((content: String, agent: String, url: String) =>
+        graft.extract.Robots.parse(if (content == null) "" else content)
+          .canFetch(agent, url)))
   }
 
   /** convenience: the native expression as a DataFrame transform */

@@ -151,6 +151,111 @@ object Queries {
       upper(substr(source,1,1)) || substr(source,2) AS topic
       FROM documents ORDER BY doc_id"""))
 
+  /** S2: sitemap.xml parse (crawler.py:63-81 ElementTree semantics) over
+    * synthesized per-document sitemaps: index docs (doc_id % 4 = 0) carry
+    * two child-sitemap locs, page docs carry three url locs — one
+    * whitespace-padded (`.strip()` parity), one with an XML entity
+    * (`&amp;` decode parity). The parse is row-local by nature (one XML
+    * document in, its loc entries out), so it runs as a UDF over the scan
+    * like the `of_extract` family — zero shuffles before the final
+    * presentation sort. */
+  private val s2SitemapParse = Q(
+    (s, dir) => {
+      val parseLocs = udf((xml: String) =>
+        graft.extract.Sitemap.parse(xml).map(e => (e.kind, e.loc)))
+      val xml =
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(
+            lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              "<sitemap><loc>http://site/"), col("doc_id"),
+            lit("/sm-1.xml</loc></sitemap><sitemap><loc> http://site/"), col("doc_id"),
+            lit("/sm-2.xml </loc></sitemap></sitemapindex>")))
+        .otherwise(
+          concat(
+            lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              "<url><lastmod>2024-01-01</lastmod><loc>http://site/"), col("doc_id"),
+            lit("/page-0</loc></url><url><loc> http://site/"), col("doc_id"),
+            lit("/page-1?a=1&amp;b=2 </loc></url><url><loc>http://site/"), col("doc_id"),
+            lit("/page-2</loc></url></urlset>")))
+      rd(s, dir, "documents")
+        .select(col("doc_id"), explode(parseLocs(xml)).as("e"))
+        .select(col("doc_id"), col("e._1").as("kind"), col("e._2").as("loc"))
+        .orderBy("doc_id", "loc")
+    },
+    Some("""WITH e AS (
+        SELECT doc_id, 'sitemap' AS kind,
+          'http://site/' || doc_id || '/sm-1.xml' AS loc
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, 'sitemap', 'http://site/' || doc_id || '/sm-2.xml'
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, 'url', 'http://site/' || doc_id || '/page-0'
+        FROM documents WHERE doc_id % 4 <> 0
+        UNION ALL
+        SELECT doc_id, 'url', 'http://site/' || doc_id || '/page-1?a=1&b=2'
+        FROM documents WHERE doc_id % 4 <> 0
+        UNION ALL
+        SELECT doc_id, 'url', 'http://site/' || doc_id || '/page-2'
+        FROM documents WHERE doc_id % 4 <> 0
+      )
+      SELECT doc_id, kind, loc FROM e ORDER BY doc_id, loc"""))
+
+  /** The reference's robots fixture for S4 (crawler.py:101-127 gates with
+    * urllib.robotparser + agent "OpenFeeder-Sidecar"). */
+  private val robotsFixture: String =
+    """User-agent: *
+      |Disallow: /private/
+      |Allow: /private/public/
+      |Disallow: /tmp
+      |
+      |User-agent: OpenFeeder-Sidecar
+      |Disallow: /search
+      |Allow: /search/docs
+      |Disallow:
+      |""".stripMargin
+
+  /** S4: the robots.txt gate as a compiled first-match-wins when-chain
+    * (rules parsed once on the driver — they are per-site constants — and
+    * the gate is a pure codegen'd boolean expression over the path column;
+    * no UDF, pushes through Catalyst). Two agents exercise both the named
+    * group and the `*` default group; the oracle re-derives the expected
+    * urllib decisions independently per path family. */
+  private val s4RobotsGate = Q(
+    (s, dir) => {
+      val rules = graft.extract.Robots.parse(robotsFixture)
+      val path =
+        when(pmod(col("doc_id"), lit(6)) === 0, concat(lit("/private/x-"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(6)) === 1, concat(lit("/private/public/x-"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(6)) === 2, lit("/search"))
+          .when(pmod(col("doc_id"), lit(6)) === 3, concat(lit("/search/docs-"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(6)) === 4, concat(lit("/tmp-"), col("doc_id")))
+          .otherwise(concat(lit("/docs/page-"), col("doc_id")))
+      rd(s, dir, "documents")
+        .select(col("doc_id"), path.as("path"))
+        .withColumn("allowed_sidecar",
+          rules.allowedColumn("OpenFeeder-Sidecar", col("path")))
+        .withColumn("allowed_other",
+          rules.allowedColumn("SomeBot", col("path")))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN '/private/x-' || doc_id
+          WHEN 1 THEN '/private/public/x-' || doc_id
+          WHEN 2 THEN '/search'
+          WHEN 3 THEN '/search/docs-' || doc_id
+          WHEN 4 THEN '/tmp-' || doc_id
+          ELSE '/docs/page-' || doc_id END AS path,
+        -- OpenFeeder-Sidecar group: Disallow /search first-match;
+        -- the bare "Disallow:" tail allows everything else
+        (doc_id % 6 <> 2 AND doc_id % 6 <> 3) AS allowed_sidecar,
+        -- * group: Disallow /private/ shadows the later Allow
+        -- /private/public/ (urllib is first-match, not longest-match);
+        -- Disallow /tmp is a pure prefix (catches /tmp-N)
+        (doc_id % 6 <> 0 AND doc_id % 6 <> 1 AND doc_id % 6 <> 4) AS allowed_other
+      FROM documents ORDER BY doc_id"""))
+
   /** P15: the FULL WooCommerce product envelope —
     * `class-products-api.php:224-278` item shape (url/title/sku/price/
     * regular_price/sale_price/on_sale/availability/stock_quantity/
@@ -1463,6 +1568,8 @@ object Queries {
     "j3_anti_join" -> j3AntiJoin,
     "j6_union_dedup" -> j6UnionDedup,
     "s11_json_envelope" -> s11JsonEnvelope,
+    "s2_sitemap_parse" -> s2SitemapParse,
+    "s4_robots_gate" -> s4RobotsGate,
     "p6_url_sanitize" -> p6UrlSanitize,
     "j7_collect_variants" -> j7CollectVariants,
     "x_token_count" -> xTokenCount,

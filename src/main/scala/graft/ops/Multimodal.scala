@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   *    histogram feature, `thumbnail` resize via Graphics2D)
   *  - audio: WAV/RIFF via `javax.sound.sampled` (sample rate, frame count,
   *    amplitude histogram over PCM samples)
-  *  - video: an MJPNG-style container (concatenated PNG frames) — frame
-  *    count by signature scan, first-frame decode for dimensions/feature;
-  *    `sampleFrames` explodes every-nth-frame rows. A real mp4 path swaps
-  *    in an ffmpeg-backed decoder behind the same `decodeOne` signature
-  *    (H.264 codecs do not ship in the JDK).
+  *  - video, two containers behind one dispatch: a REAL standard RIFF
+  *    AVI with Motion-JPEG frames (the layout ffmpeg's `-c:v mjpeg`
+  *    emits — header fps/dims + `movi` frame chunks, each a JDK-decodable
+  *    JPEG) and an MJPNG-style container (concatenated PNG frames, exact
+  *    chunk-structure walk); `sampleFrames` explodes every-nth-frame
+  *    rows. An mp4/H.264 path would swap in an ffmpeg-backed decoder
+  *    behind the same `decodeOne` signature (H.264 does not ship in the
+  *    JDK and no ffmpeg binary exists in this container).
   *
   * The synthetic generator emits REAL encoded bytes whose parameters are
   * exact functions of doc_id, so the DuckDB oracle predicts what the
@@ -75,6 +78,57 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL standard video container: RIFF AVI with Motion-JPEG ('MJPG')
+    * frames — the same layout ffmpeg's `-c:v mjpeg` produces (RIFF/AVI
+    * spec: `hdrl`(avih + strl(strh/strf)) + `movi`('00dc' chunks)). JPEG
+    * decode ships in the JDK, so this is a fully decodable industry
+    * format with zero external deps; 1+id%10 16×9 frames @ 12 fps. */
+  def synthVideoAvi(id: Long): Array[Byte] = {
+    val n = 1 + (id % 10).toInt
+    val fps = 12
+    val w = 16; val h = 9
+    val frames = (0 until n).map(f => encodeJpeg(renderFrame(id, f, w, h)))
+
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def u16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id4: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(fcc(id4)); bos.write(u32(data.length)); bos.write(data)
+      if (data.length % 2 == 1) bos.write(0) // RIFF chunks pad to even
+      bos.toByteArray
+    }
+    def list(subtype: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(subtype) ++ payload)
+
+    val avih = chunk("avih",
+      u32(1000000L / fps) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(n) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(w) ++ u32(h) ++
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(0))
+    val strh = chunk("strh",
+      fcc("vids") ++ fcc("MJPG") ++ u32(0) ++ u16(0) ++ u16(0) ++ u32(0) ++
+        u32(1) /*dwScale*/ ++ u32(fps) /*dwRate*/ ++ u32(0) ++ u32(n) ++
+        u32(0) ++ u32(0xFFFFFFFFL) /*dwQuality: default*/ ++ u32(0) ++
+        u16(0) ++ u16(0) ++ u16(w) ++ u16(h))
+    val strf = chunk("strf",
+      u32(40) ++ u32(w) ++ u32(h) ++ u16(1) ++ u16(24) ++ fcc("MJPG") ++
+        u32(w.toLong * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    val bos = new ByteArrayOutputStream()
+    bos.write(fcc("RIFF")); bos.write(u32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   private def renderFrame(id: Long, frame: Int, w: Int, h: Int)
       : java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
@@ -98,7 +152,9 @@ object Multimodal {
   }
 
   /** Synthetic media column over the documents table (stand-in for a real
-    * binary column); kind cycles image/audio/video by doc_id. */
+    * binary column); kind cycles image/audio/video by doc_id. Video ids
+    * alternate container: id % 6 == 5 → standard AVI/MJPEG, id % 6 == 2 →
+    * MJPNG — both video paths stay exercised. */
   def synthesize(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -106,7 +162,9 @@ object Multimodal {
       (id % 3) match {
         case 0 => MediaRow(id, "image", synthImage(id))
         case 1 => MediaRow(id, "audio", synthAudio(id))
-        case _ => MediaRow(id, "video", synthVideo(id))
+        case _ =>
+          MediaRow(id, "video",
+            if (id % 6 == 5) synthVideoAvi(id) else synthVideo(id))
       }
     }
   }
@@ -204,6 +262,17 @@ object Multimodal {
              _: java.io.IOException =>
           MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0, 0, 0, new Array[Float](8))
       }
+    case _ if isRiffAvi(r.payload) => // video: standard AVI/MJPEG container
+      decodeAvi(r.payload) match {
+        case Some((w, h, fps, nFrames, firstJpeg)) =>
+          val first = javax.imageio.ImageIO.read(new ByteArrayInputStream(firstJpeg))
+          val feat = if (first == null) new Array[Float](8) else lumaHistogram(first)
+          // sample_rate carries fps for video (frames per second — the
+          // temporal sampling rate), mirroring the audio column's meaning
+          MediaMeta(r.doc_id, r.kind, r.payload.length, w, h, fps, nFrames, feat)
+        case None =>
+          MediaMeta(r.doc_id, r.kind, r.payload.length, 0, 0, 0, 0, new Array[Float](8))
+      }
     case _ => // video: MJPNG frame count + first-frame decode
       val nFrames = countPngFrames(r.payload)
       val first = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload))
@@ -212,6 +281,66 @@ object Multimodal {
       else
         MediaMeta(r.doc_id, r.kind, r.payload.length, first.getWidth,
           first.getHeight, 0, nFrames, lumaHistogram(first))
+  }
+
+  private def isRiffAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Minimal-but-real RIFF/AVI walk: `strh` gives fps (dwRate/dwScale) and
+    * the stream frame rect, `strf`'s BITMAPINFOHEADER gives dimensions,
+    * `movi`'s `??dc`/`??db` chunks are the frames (first one returned for
+    * JPEG decode). Truncated/malformed containers → None (zeroed row, same
+    * degradation contract as the other codecs). */
+  private def decodeAvi(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Array[Byte])] = {
+    def u32(i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    def fcc(i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+    try {
+      var w = 0; var h = 0; var fps = 0
+      var nFrames = 0
+      var firstFrame: Array[Byte] = null
+
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val id = fcc(i)
+          val size = u32(i + 4)
+          val dataStart = i + 8
+          val dataEnd = dataStart + size.toInt
+          if (size < 0 || dataEnd > to) throw new IllegalArgumentException("truncated")
+          id match {
+            case "LIST" =>
+              val sub = fcc(dataStart)
+              walk(dataStart + 4, dataEnd, inMovi = sub == "movi")
+            case "strh" =>
+              if (fcc(dataStart) == "vids") {
+                val scale = u32(dataStart + 20)
+                val rate = u32(dataStart + 24)
+                if (scale > 0) fps = (rate / scale).toInt
+              }
+            case "strf" =>
+              if (size >= 40 && u32(dataStart) >= 40) {
+                w = u32(dataStart + 4).toInt
+                h = u32(dataStart + 8).toInt
+              }
+            case vid if inMovi && vid.length == 4 &&
+                (vid.endsWith("dc") || vid.endsWith("db")) =>
+              nFrames += 1
+              if (firstFrame == null)
+                firstFrame = java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
+            case _ => ()
+          }
+          i = dataEnd + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      val total = math.min(b.length, 8 + u32(4).toInt)
+      walk(12, total, inMovi = false)
+      if (firstFrame == null) None else Some((w, h, fps, nFrames, firstFrame))
+    } catch { case _: Exception => None }
   }
 
   /** Decode/feature-extract pass: typed mapPartitions — decoder state is

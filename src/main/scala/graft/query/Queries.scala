@@ -1118,7 +1118,8 @@ object Queries {
                 WHEN doc_id % 3 = 2 THEN 16 ELSE 0 END AS INT) AS width,
       CAST(CASE WHEN doc_id % 3 = 0 THEN 5*(1 + doc_id % 16)
                 WHEN doc_id % 3 = 2 THEN 9 ELSE 0 END AS INT) AS height,
-      CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+      CAST(CASE WHEN doc_id % 3 = 1 THEN 16000
+                WHEN doc_id % 6 = 5 THEN 12 ELSE 0 END AS INT) AS sample_rate,
       CAST(CASE WHEN doc_id % 3 = 1 THEN 160*(1 + doc_id % 20)
                 WHEN doc_id % 3 = 2 THEN 1 + doc_id % 10 ELSE 0 END AS INT) AS n_frames
       FROM documents ORDER BY doc_id"""))

@@ -272,6 +272,8 @@ class OpsSpec extends AnyFunSuite {
           assert(m.n_frames == 1 + (m.doc_id % 10).toInt)
           assert(m.width == 16 && m.height == 9)
           assert(m.feature.sum == (16 * 9).toFloat)
+          // AVI carries its header fps in sample_rate; MJPNG has none
+          assert(m.sample_rate == (if (m.doc_id % 6 == 5) 12 else 0))
       }
     }
     // real resize: thumbnail decodes back at the target dimensions
@@ -284,6 +286,22 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
     val one = frames.filter(col("doc_id") === 5).collect().map(_.getInt(1)).toSeq
     assert(one == (0 until (1 + 5 % 10) by 2).toSeq)
+  }
+
+  test("AVI/MJPEG: standard RIFF container round trip; truncation degrades, not crashes") {
+    // doc 11 -> video (11 % 3 = 2), AVI flavor (11 % 6 = 5), 2 frames (1 + 11 % 10)
+    val avi = Multimodal.synthVideoAvi(11L)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val m = Multimodal.decodeOne(Multimodal.MediaRow(11L, "video", avi))
+    assert(m.width == 16 && m.height == 9)
+    assert(m.sample_rate == 12) // fps from strh dwRate/dwScale
+    assert(m.n_frames == 2)     // movi '00dc' chunk count
+    assert(m.feature.sum == (16 * 9).toFloat) // first JPEG frame decoded
+    // truncated container degrades to a zeroed row (the per-codec contract)
+    val trunc = java.util.Arrays.copyOfRange(avi, 0, 40)
+    val mt = Multimodal.decodeOne(Multimodal.MediaRow(11L, "video", trunc))
+    assert(mt.n_frames == 0 && mt.width == 0 && mt.sample_rate == 0)
   }
 
   test("langId picks the max-hit language deterministically") {

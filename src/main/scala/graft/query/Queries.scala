@@ -151,6 +151,44 @@ object Queries {
       upper(substr(source,1,1)) || substr(source,2) AS topic
       FROM documents ORDER BY doc_id"""))
 
+  /** S1: the crawl's BFS reachability over a deterministic link graph
+    * derived from documents (each page links to (2i+1) mod N and
+    * (3i+2) mod N), seeded at the root like crawler.py:156-160. The
+    * oracle is a DuckDB RECURSIVE CTE computing min-depth reachability —
+    * a genuinely independent BFS implementation. The corpus-size modulus
+    * is computed in-job via a broadcast 1-row count (no plan-construction
+    * driver count). */
+  private val s1CrawlBfs = Q(
+    (s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("_n"))
+      val base = docs.crossJoin(broadcast(n))
+      def page(c: Column): Column = concat(lit("/p/"), c)
+      val edges =
+        base.select(page(col("doc_id")).as("src"),
+            page(pmod(col("doc_id") * 2 + 1, col("_n"))).as("dst"))
+          .unionByName(base.select(page(col("doc_id")).as("src"),
+            page(pmod(col("doc_id") * 3 + 2, col("_n"))).as("dst")))
+      graft.job.Crawl.bfs(edges, Seq("/p/0"), maxDepth = 6)
+        .orderBy("url")
+    },
+    Some("""WITH RECURSIVE e AS (
+        SELECT '/p/' || doc_id AS src,
+               '/p/' || ((doc_id*2+1) % (SELECT count(*) FROM documents)) AS dst
+        FROM documents
+        UNION ALL
+        SELECT '/p/' || doc_id,
+               '/p/' || ((doc_id*3+2) % (SELECT count(*) FROM documents))
+        FROM documents
+      ), bfs(url, depth) AS (
+        SELECT '/p/0', 0
+        UNION
+        SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.url
+        WHERE b.depth < 6
+      )
+      SELECT url, CAST(min(depth) AS INT) AS depth FROM bfs
+      GROUP BY url ORDER BY url"""))
+
   /** S2: sitemap.xml parse (crawler.py:63-81 ElementTree semantics) over
     * synthesized per-document sitemaps: index docs (doc_id % 4 = 0) carry
     * two child-sitemap locs, page docs carry three url locs — one
@@ -1569,6 +1607,7 @@ object Queries {
     "j3_anti_join" -> j3AntiJoin,
     "j6_union_dedup" -> j6UnionDedup,
     "s11_json_envelope" -> s11JsonEnvelope,
+    "s1_crawl_bfs" -> s1CrawlBfs,
     "s2_sitemap_parse" -> s2SitemapParse,
     "s4_robots_gate" -> s4RobotsGate,
     "p6_url_sanitize" -> p6UrlSanitize,

@@ -121,6 +121,32 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("crawl BFS: min-depth levels, page cap, robots pre-filter composition") {
+    import spark.implicits._
+    // a -> b -> c -> d, a -> c (shortcut), e isolated, d -> a (cycle)
+    val links = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"),
+      ("e", "e")).toDF("src", "dst")
+    val out = graft.job.Crawl.bfs(links, Seq("a"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // shortcut wins: c is depth 1 (min), not 2; cycle terminates; e absent
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // page cap cuts by (depth, url): top-3 = a, then b/c at depth 1
+    val capped = graft.job.Crawl.capPages(
+      graft.job.Crawl.bfs(links, Seq("a"), maxDepth = 10), maxPages = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("a", "b", "c"))
+    // robots composition: disallowing page b on the SOURCE side means b is
+    // discovered but never expands (dequeue-gate semantics); c keeps depth
+    // 1 via the a->c shortcut, d is now depth 2 only via c
+    val rules = graft.extract.Robots.parse("User-agent: *\nDisallow: /b\n")
+    val gated = links
+      .filter(rules.allowedColumn("OpenFeeder-Sidecar", concat(lit("/"), col("src"))))
+    val out2 = graft.job.Crawl.bfs(gated, Seq("a"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out2 == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+  }
+
   test("salted repartition preserves rows and spreads a mega-conversation") {
     import spark.implicits._
     val turns = Transcripts.generate(spark, 5, megaTurns = 2000, nMega = 1)

@@ -112,17 +112,32 @@ object Robots {
     sb.toString
   }
 
-  /** can_fetch's url normalization: unquote whole url, strip
-    * scheme://authority, re-quote, empty → "/". */
+  /** can_fetch's url normalization, mirroring urlparse: unquote the whole
+    * url, drop `scheme:` (letters/digits/+-. after a leading letter), drop
+    * a `//authority` (which ends at the first `/`, `?` or `#` — including
+    * the protocol-relative `//host/...` form with no scheme), keep
+    * path+params+query+fragment, re-quote, empty → "/". Pinned against
+    * urllib: `//host/p` → `/p`, `http://host?q=1` → `%3Fq%3D1`,
+    * `mailto:x@y/p` → `x%40y/p`, `relative/p` stays. */
   def normalizeUrl(url: String): String = {
     val un = unquote(url)
-    val rest = {
-      val i = un.indexOf("://")
-      if (i >= 0) {
-        val j = un.indexOf('/', i + 3)
-        if (j >= 0) un.substring(j) else ""
-      } else un
+    val afterScheme = {
+      val ci = un.indexOf(':')
+      val validScheme = ci > 0 && {
+        val s = un.substring(0, ci)
+        (s.charAt(0).isLetter && s.charAt(0) < 0x80) && s.forall(c =>
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')
+      }
+      if (validScheme) un.substring(ci + 1) else un
     }
+    val rest =
+      if (afterScheme.startsWith("//")) {
+        var i = 2
+        while (i < afterScheme.length && afterScheme.charAt(i) != '/' &&
+          afterScheme.charAt(i) != '?' && afterScheme.charAt(i) != '#') i += 1
+        if (i >= afterScheme.length) "" else afterScheme.substring(i)
+      } else afterScheme
     val q = quote(rest)
     if (q.isEmpty) "/" else q
   }

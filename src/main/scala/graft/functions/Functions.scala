@@ -109,8 +109,11 @@ object Functions {
         else graft.extract.Sitemap.parse(xml).map(e => (e.kind, e.loc))))
     spark.udf.register("of_robots_allowed",
       udf((content: String, agent: String, url: String) =>
-        graft.extract.Robots.parse(if (content == null) "" else content)
-          .canFetch(agent, url)))
+        // null url/agent can't be gated — answer false (don't crawl the
+        // unknown) instead of NPE-killing the task
+        url != null && agent != null &&
+          graft.extract.Robots.parse(if (content == null) "" else content)
+            .canFetch(agent, url)))
   }
 
   /** convenience: the native expression as a DataFrame transform */

@@ -40,7 +40,10 @@ object Crawl {
   def bfs(links: DataFrame, seeds: Seq[String], maxDepth: Int): DataFrame = {
     val spark = links.sparkSession
     import spark.implicits._
-    val edges = links.select(col("src"), col("dst"))
+    // materialize the edge table once: every level joins against it, and
+    // without this an expensive upstream plan (scans, aggregates, unions)
+    // would re-execute per level
+    val edges = links.select(col("src"), col("dst")).localCheckpoint(true)
     var visited = seeds.toDF("url").distinct()
       .select(col("url"), lit(0).as("depth"))
       .localCheckpoint(true)

@@ -51,6 +51,20 @@ class RobotsSitemapSpec extends AnyFunSuite {
     }
   }
 
+  test("robots: url normalization matches urlparse for scheme/authority edges") {
+    // every expectation below pinned against urllib.robotparser/urlparse
+    assert(!rules.canFetch("SomeBot", "//host/private/a")) // protocol-relative
+    assert(!rules.canFetch("SomeBot", "HTTPS://host/private/a")) // scheme case
+    assert(rules.canFetch("SomeBot", "http://host?q=1")) // authority ends at '?'
+    assert(rules.canFetch("SomeBot", "http://host#frag"))
+    assert(rules.canFetch("SomeBot", "relative/private/x")) // no leading '/'
+    assert(rules.canFetch("SomeBot", "mailto:x@y/private/a")) // scheme, no '//'
+    assert(Robots.normalizeUrl("//host/p") == "/p")
+    assert(Robots.normalizeUrl("http://host?q=1") == "%3Fq%3D1")
+    assert(Robots.normalizeUrl("mailto:x@y/p") == "x%40y/p")
+    assert(Robots.normalizeUrl("relative/p") == "relative/p")
+  }
+
   test("robots: empty content allows everything; unmatched agent falls to *") {
     assert(Robots.parse("").canFetch("AnyBot", "http://x/anything"))
     assert(!rules.canFetch("SomeBot", "/private/x"))
@@ -104,5 +118,23 @@ class RobotsSitemapSpec extends AnyFunSuite {
     // malformed -> empty (crawler catch-all)
     assert(Sitemap.parse("""<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>x</url></urlset>""").isEmpty)
     assert(Sitemap.parse("not xml at all").isEmpty)
+  }
+
+  test("sitemap: .text/None/well-formedness edges match ElementTree exactly") {
+    val ns = """xmlns="http://www.sitemaps.org/schemas/sitemap/0.9""""
+    // .text = text BEFORE the first child; the tail after <lastmod/> is
+    // the child's tail in ET, not loc.text
+    assert(Sitemap.parse(s"""<urlset $ns><url><loc>http://a<lastmod/>tail</loc></url></urlset>""")
+      == Vector(Sitemap.Entry("url", "http://a")))
+    // truly empty loc: text is None -> `if loc.text:` skips it
+    assert(Sitemap.parse(s"""<urlset $ns><url><loc></loc></url><url><loc/></url></urlset>""").isEmpty)
+    // whitespace-only loc: text " " is truthy -> strips to ""
+    assert(Sitemap.parse(s"""<urlset $ns><url><loc> </loc></url></urlset>""")
+      == Vector(Sitemap.Entry("url", "")))
+    // expat-grade well-formedness: unescaped '<', junk after root,
+    // undefined entity all raise in ET -> empty here
+    assert(Sitemap.parse(s"""<urlset $ns><url><loc>a < b</loc></url></urlset>""").isEmpty)
+    assert(Sitemap.parse(s"""<urlset $ns></urlset><junk/>""").isEmpty)
+    assert(Sitemap.parse(s"""<urlset $ns><url><loc>&foo;</loc></url></urlset>""").isEmpty)
   }
 }

@@ -55,6 +55,14 @@ object DumpPlans {
         fmt(SparkEntry.queries("x_search_end_to_end")(spark, sf)),
       "scalableTurnPos (distributed prefix offsets, broadcast join back)" ->
         fmt(ExtractJob.scalableTurnPos(ExtractJob.extract(turns), 4).toDF()),
+      "x_sync_envelope (one plan: window filter → partial collect aggs → 1-row broadcast join)" ->
+        fmt(SparkEntry.queries("x_sync_envelope")(spark, sf)),
+      "p15_product_envelope (variants agg + dim join, pushed partkey filters)" ->
+        fmt(SparkEntry.queries("p15_product_envelope")(spark, sf)),
+      "a8_analytics_rollup (event fan-out explode → map-side combined rollup)" ->
+        fmt(SparkEntry.queries("a8_analytics_rollup")(spark, sf)),
+      "s1_crawl_bfs (level-synchronous BFS; per-level checkpointed scans)" ->
+        fmt(SparkEntry.queries("s1_crawl_bfs")(spark, sf)),
     )
     sections.foreach { case (title, plan) =>
       sb ++= s"\n## $title\n\n```\n${plan.trim.take(4000)}\n```\n"

@@ -122,6 +122,148 @@ object Gateway {
     sb.toString
   }
 
+  /** Mode-1 Round-1 (cold start) question synthesis —
+    * `buildQuestions` (gateway.js:77-205): per detected context type, the
+    * suggested next actions an LLM agent can take, each as
+    * {question, intent, action, returns}. Mirrored quirks: the product
+    * "compare" action uses the SECOND path segment (the product slug) as
+    * the category value with `[-_]` → `+`; category actions fall back to
+    * `?q=topic` when the site has no e-commerce; topics embed in questions
+    * with JS template quoting; spaces in topics become `+` in query
+    * actions; the `search` context type falls through to the default arm
+    * (no case of its own). */
+  def coldStartQuestions(path: Column, baseUrl: String,
+      hasEcommerce: Boolean): Column = {
+    val ctx = detectContext(path)
+    val dtype = ctx.getField("detected_type")
+    val topic = ctx.getField("detected_topic")
+    val clean = regexp_replace(path, "/$", "")
+    val segments = filter(split(clean, "/"), s => length(s) > 0)
+    val seg1 = when(size(segments) >= 2, element_at(segments, 2))
+    val encPath = encodeUriComponent(path)
+    val topicPlus = regexp_replace(topic, " ", "+")
+    val b = baseUrl
+    def q(question: Column, intent: String, action: Column, returns: String): Column =
+      struct(question.as("question"), lit(intent).as("intent"),
+        action.as("action"), lit(returns).as("returns"))
+
+    val product = array(
+      q(when(topic.isNotNull,
+          concat(lit("Do you want the full details of \""), topic, lit("\"?")))
+          .otherwise(lit("Do you want the full details of this product?")),
+        "single_product",
+        concat(lit(s"GET $b/openfeeder/products?url="), encPath),
+        "Full description, price, variants, availability, stock status"),
+      when(seg1.isNotNull && length(seg1) > 0,
+        q(lit("Are you comparing this with similar products?"),
+          "category_browse",
+          concat(lit(s"GET $b/openfeeder/products?category="),
+            regexp_replace(seg1, "[-_]", "+")),
+          "All products in the same category with pricing and availability")),
+      q(lit("Are you looking for products in a specific price range?"),
+        "price_filter",
+        lit(s"GET $b/openfeeder/products?in_stock=true"),
+        "All in-stock products (add &min_price=X&max_price=Y to filter by budget)"),
+      q(lit("Are you searching for a product by feature or keyword?"),
+        "keyword_search",
+        lit(s"GET $b/openfeeder/products?q=your+keywords"),
+        "Products matching your search terms"))
+
+    val catBrowseAction =
+      if (hasEcommerce)
+        concat(lit(s"GET $b/openfeeder/products?category="), coalesce(seg1, lit("")))
+      else concat(lit(s"GET $b/openfeeder?q="), coalesce(topicPlus, lit("")))
+    val category = array(
+      q(when(topic.isNotNull,
+          concat(lit("Do you want all products in the \""), topic, lit("\" category?")))
+          .otherwise(lit("Do you want to browse products in this category?")),
+        "category_browse", catBrowseAction,
+        "Paginated product list with pricing and availability"),
+      q(lit("Are you looking for in-stock items only?"), "availability_filter",
+        if (hasEcommerce)
+          concat(lit(s"GET $b/openfeeder/products?category="),
+            coalesce(seg1, lit("")), lit("&in_stock=true"))
+        else concat(lit(s"GET $b/openfeeder?q="), coalesce(topicPlus, lit(""))),
+        "Only available products in this category"),
+      q(lit("Are you looking for items on sale?"), "sale_filter",
+        if (hasEcommerce) lit(s"GET $b/openfeeder/products?on_sale=true")
+        else lit(s"GET $b/openfeeder?q=sale"),
+        "Discounted products currently on sale"))
+
+    val articlePage = array(
+      q(when(topic.isNotNull,
+          concat(lit("Do you want the full content of \""), topic, lit("\"?")))
+          .otherwise(lit("Do you want the full content of this page?")),
+        "single_page",
+        concat(lit(s"GET $b/openfeeder?url="), encPath),
+        "Full article text split into semantic chunks, ready for LLM processing"),
+      when(topic.isNotNull && length(topic) > 0,
+        q(concat(lit("Are you looking for more content related to \""), topic,
+            lit("\"?")),
+          "topic_search",
+          concat(lit(s"GET $b/openfeeder?q="), topicPlus),
+          "All content related to this topic, ranked by relevance")),
+      q(lit("Do you want to browse all available content?"), "index_browse",
+        lit(s"GET $b/openfeeder"),
+        "Paginated index of all articles with summaries"))
+
+    val homeBase = Seq(
+      q(lit("Do you want to browse all available content?"), "index_browse",
+        lit(s"GET $b/openfeeder"),
+        "Paginated index of all content with summaries"),
+      q(lit("Are you searching for something specific?"), "search",
+        lit(s"GET $b/openfeeder?q=your+search+query"),
+        "Content matching your search query"))
+    val home = array(homeBase ++ (if (hasEcommerce) Seq(
+      q(lit("Are you looking for products?"), "products_browse",
+        lit(s"GET $b/openfeeder/products"),
+        "Full product catalog with pricing and availability")) else Seq.empty): _*)
+
+    val fallback = array(
+      q(lit("Do you want the content of this page?"), "single_page",
+        concat(lit(s"GET $b/openfeeder?url="), encPath),
+        "Page content in structured chunks"),
+      q(lit("Are you looking for something specific on this site?"), "search",
+        lit(s"GET $b/openfeeder?q=your+search+query"),
+        "Relevant content matching your query"))
+
+    array_compact(
+      when(dtype === "product", product)
+        .when(dtype === "category", category)
+        .when(dtype === "article" || dtype === "page", articlePage)
+        .when(dtype === "home", home)
+        .otherwise(fallback))
+  }
+
+  /** Mode-1 Round-1 envelope, the PURE parts (gateway.js:329-336,355-405):
+    * the `context` section (page_requested, detected type/topic,
+    * site_capabilities), the per-context `questions`, the `endpoints`
+    * block, and `next_steps`. The stateful `dialog` block (session_id,
+    * 300 s expiry, the 4 fixed intake questions) lives in the streaming
+    * path ([[graft.streaming.StreamOps.dialogueSessions]]) — sessions are
+    * runtime state, not a batch-derivable column. */
+  def coldStartEnvelope(df: DataFrame, baseUrl: String,
+      hasEcommerce: Boolean): DataFrame = {
+    val ctx = detectContext(col("path"))
+    val caps =
+      if (hasEcommerce) Seq("content", "search", "products")
+      else Seq("content", "search")
+    df.withColumn("context", struct(
+        col("path").as("page_requested"),
+        ctx.getField("detected_type").as("detected_type"),
+        ctx.getField("detected_topic").as("detected_topic"),
+        typedlit(caps).as("site_capabilities")))
+      .withColumn("questions", coldStartQuestions(col("path"), baseUrl, hasEcommerce))
+      .withColumn("endpoints", struct(
+        lit(s"$baseUrl/openfeeder").as("content"),
+        lit(s"$baseUrl/.well-known/openfeeder.json").as("discovery")))
+      .withColumn("next_steps", array(
+        lit("Answer the dialog questions via POST /openfeeder/gateway/respond for a tailored response."),
+        lit("Or choose an action from the questions above and make that GET request."),
+        lit(s"Or search directly: GET $baseUrl/openfeeder?q=describe+what+you+need"),
+        lit(s"Start from the discovery doc: GET $baseUrl/.well-known/openfeeder.json")))
+  }
+
   /** extractIntentData defaults (gateway.js:214-224). */
   def withIntentDefaults(df: DataFrame): DataFrame = df
     .withColumn("depth", coalesce(col("depth"), lit("standard")))

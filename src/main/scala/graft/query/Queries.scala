@@ -1576,6 +1576,112 @@ object Queries {
       FROM routed ORDER BY doc_id"""
     })
 
+  /** Mode-1 Round-1 cold-start envelope (gateway.js:329-336,355-405): the
+    * context section, per-context suggested questions/actions, endpoints
+    * and next_steps for every mode1-routed request — the last gateway
+    * response surface (routing = g1 ★, Mode-2 = g2 ★, the stateful dialog
+    * block = StreamOps.dialogueSessions). The oracle re-derives each path
+    * family's expected question list as literal templates — an independent
+    * rendering, not a mirror of the when-chains. */
+  private val g3GatewayColdStart = Q(
+    (s, dir) => {
+      val reqs = Gateway.routeRequests(gatewayRequests(s, dir))
+        .filter(col("route") === "mode1_cold_start")
+      Gateway.coldStartEnvelope(reqs, "https://site.example", hasEcommerce = true)
+        .select(col("doc_id"),
+          to_json(col("context"), Map("ignoreNullFields" -> "false")).as("context_json"),
+          to_json(col("questions")).as("questions_json"),
+          to_json(col("endpoints")).as("endpoints_json"),
+          to_json(col("next_steps")).as("steps_json"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val llm = Gateway.LlmAgents.map(a => s"ua LIKE '%$a%'").mkString(" OR ")
+      val b = "https://site.example"
+      def qp(question: String, intent: String, action: String, returns: String) =
+        s"""struct_pack(question := '$question', intent := '$intent',
+           |action := '$action', returns := '$returns')""".stripMargin
+      // JS-template quoting: topics embed inside double quotes
+      val product = Seq(
+        qp("""Do you want the full details of "Widget ' || doc_id || '"?""",
+          "single_product", s"GET $b/openfeeder/products?url=%2Fproducts%2Fwidget-' || doc_id || '",
+          "Full description, price, variants, availability, stock status"),
+        qp("Are you comparing this with similar products?", "category_browse",
+          s"GET $b/openfeeder/products?category=widget+' || doc_id || '",
+          "All products in the same category with pricing and availability"),
+        qp("Are you looking for products in a specific price range?", "price_filter",
+          s"GET $b/openfeeder/products?in_stock=true",
+          "All in-stock products (add &min_price=X&max_price=Y to filter by budget)"),
+        qp("Are you searching for a product by feature or keyword?", "keyword_search",
+          s"GET $b/openfeeder/products?q=your+keywords",
+          "Products matching your search terms"))
+      val article = Seq(
+        qp("""Do you want the full content of "My Great Post ' || doc_id || '"?""",
+          "single_page", s"GET $b/openfeeder?url=%2Fblog%2Fmy_great-post-' || doc_id || '",
+          "Full article text split into semantic chunks, ready for LLM processing"),
+        qp("""Are you looking for more content related to "My Great Post ' || doc_id || '"?""",
+          "topic_search", s"GET $b/openfeeder?q=My+Great+Post+' || doc_id || '",
+          "All content related to this topic, ranked by relevance"),
+        qp("Do you want to browse all available content?", "index_browse",
+          s"GET $b/openfeeder", "Paginated index of all articles with summaries"))
+      val docsPage = Seq(
+        qp("""Do you want the full content of "part ' || doc_id || '"?""",
+          "single_page", s"GET $b/openfeeder?url=%2Fdocs%2Fguide%2Fpart-' || doc_id || '",
+          "Full article text split into semantic chunks, ready for LLM processing"),
+        qp("""Are you looking for more content related to "part ' || doc_id || '"?""",
+          "topic_search", s"GET $b/openfeeder?q=part+' || doc_id || '",
+          "All content related to this topic, ranked by relevance"),
+        qp("Do you want to browse all available content?", "index_browse",
+          s"GET $b/openfeeder", "Paginated index of all articles with summaries"))
+      val home = Seq(
+        qp("Do you want to browse all available content?", "index_browse",
+          s"GET $b/openfeeder", "Paginated index of all content with summaries"),
+        qp("Are you searching for something specific?", "search",
+          s"GET $b/openfeeder?q=your+search+query", "Content matching your search query"),
+        qp("Are you looking for products?", "products_browse",
+          s"GET $b/openfeeder/products", "Full product catalog with pricing and availability"))
+      val searchDefault = Seq(
+        qp("Do you want the content of this page?", "single_page",
+          s"GET $b/openfeeder?url=%2Fsearch", "Page content in structured chunks"),
+        qp("Are you looking for something specific on this site?", "search",
+          s"GET $b/openfeeder?q=your+search+query", "Relevant content matching your query"))
+      def arr(xs: Seq[String]) = xs.mkString("[", ",\n        ", "]")
+      s"""WITH req AS ($gatewayRequestsSql),
+      m1 AS (
+        SELECT doc_id, path FROM req
+        WHERE method = 'GET'
+          AND NOT regexp_matches(path, '(?i)\\.(js|css|png|jpg|jpeg|gif|webp|svg|ico|woff|woff2|ttf|eot|map|json)$$')
+          AND NOT regexp_matches(path, '^/(openfeeder|\\.well-known/openfeeder)')
+          AND ($llm)
+          AND (intent IS NULL OR length(intent) = 0)
+      )
+      SELECT doc_id,
+        to_json(struct_pack(
+          page_requested := path,
+          detected_type := CASE doc_id % 7 WHEN 2 THEN 'product' WHEN 3 THEN 'article'
+            WHEN 4 THEN 'search' WHEN 5 THEN 'home' ELSE 'page' END,
+          detected_topic := CASE doc_id % 7
+            WHEN 2 THEN 'Widget ' || doc_id
+            WHEN 3 THEN 'My Great Post ' || doc_id
+            WHEN 6 THEN 'part ' || doc_id
+            ELSE NULL END,
+          site_capabilities := ['content', 'search', 'products'])) AS context_json,
+        to_json(CASE doc_id % 7
+          WHEN 2 THEN ${arr(product)}
+          WHEN 3 THEN ${arr(article)}
+          WHEN 4 THEN ${arr(searchDefault)}
+          WHEN 5 THEN ${arr(home)}
+          ELSE ${arr(docsPage)} END) AS questions_json,
+        to_json(struct_pack(
+          content := '$b/openfeeder',
+          discovery := '$b/.well-known/openfeeder.json')) AS endpoints_json,
+        to_json(['Answer the dialog questions via POST /openfeeder/gateway/respond for a tailored response.',
+          'Or choose an action from the questions above and make that GET request.',
+          'Or search directly: GET $b/openfeeder?q=describe+what+you+need',
+          'Start from the discovery doc: GET $b/.well-known/openfeeder.json']) AS steps_json
+      FROM m1 ORDER BY doc_id"""
+    })
+
   /** Full registry, insertion-ordered. */
   val registry: Vector[(String, Q)] = Vector(
     "q1_agg" -> q1Agg,
@@ -1591,6 +1697,7 @@ object Queries {
     "p14_url_context" -> p14UrlContext,
     "g1_gateway_route" -> g1GatewayRoute,
     "g2_gateway_tailored" -> g2GatewayTailored,
+    "g3_gateway_coldstart" -> g3GatewayColdStart,
     "w2_stable_order" -> w2StableOrder,
     "w4_tombstone_fifo" -> w4TombstoneFifo,
     "a1_pagination_totals" -> a1PaginationTotals,

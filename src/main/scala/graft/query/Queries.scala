@@ -1682,6 +1682,34 @@ object Queries {
       FROM m1 ORDER BY doc_id"""
     })
 
+  /** The discovery document (spec §2, `main.py:300-318`): one
+    * `.well-known/openfeeder.json` body per site — version, site block,
+    * feed pointer, capabilities, null contact — rendered per distinct
+    * source as the site dimension. */
+  private val d1Discovery = Q(
+    (s, dir) => rd(s, dir, "documents")
+      .select(col("source")).distinct()
+      .select(col("source"),
+        to_json(struct(
+          lit("1.0.2").as("version"),
+          struct(col("source").as("name"),
+            concat(lit("https://"), col("source"), lit(".example")).as("url"),
+            lit("en").as("language"),
+            concat(lit("OpenFeeder sidecar for "), col("source")).as("description")).as("site"),
+          struct(lit("/openfeeder").as("endpoint"), lit("paginated").as("type")).as("feed"),
+          typedlit(Seq("search", "embeddings", "diff-sync")).as("capabilities"),
+          lit(null).cast("string").as("contact")),
+          Map("ignoreNullFields" -> "false")).as("discovery"))
+      .orderBy("source"),
+    Some("""SELECT source, to_json(struct_pack(
+        version := '1.0.2',
+        site := struct_pack(name := source, url := 'https://' || source || '.example',
+          language := 'en', description := 'OpenFeeder sidecar for ' || source),
+        feed := struct_pack(endpoint := '/openfeeder', type := 'paginated'),
+        capabilities := ['search', 'embeddings', 'diff-sync'],
+        contact := NULL::VARCHAR)) AS discovery
+      FROM (SELECT DISTINCT source FROM documents) ORDER BY source"""))
+
   /** Full registry, insertion-ordered. */
   val registry: Vector[(String, Q)] = Vector(
     "q1_agg" -> q1Agg,
@@ -1698,6 +1726,7 @@ object Queries {
     "g1_gateway_route" -> g1GatewayRoute,
     "g2_gateway_tailored" -> g2GatewayTailored,
     "g3_gateway_coldstart" -> g3GatewayColdStart,
+    "d1_discovery" -> d1Discovery,
     "w2_stable_order" -> w2StableOrder,
     "w4_tombstone_fifo" -> w4TombstoneFifo,
     "a1_pagination_totals" -> a1PaginationTotals,

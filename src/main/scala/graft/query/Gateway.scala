@@ -133,8 +133,15 @@ object Gateway {
     * actions; the `search` context type falls through to the default arm
     * (no case of its own). */
   def coldStartQuestions(path: Column, baseUrl: String,
+      hasEcommerce: Boolean): Column =
+    coldStartQuestionsFrom(path, detectContext(path), baseUrl, hasEcommerce)
+
+  /** Variant taking an already-computed [[detectContext]] struct column —
+    * callers that materialize the context once (e.g. via `withColumn`)
+    * avoid inlining the whole detection when-chain at every one of the
+    * ~10 type/topic use sites below. */
+  def coldStartQuestionsFrom(path: Column, ctx: Column, baseUrl: String,
       hasEcommerce: Boolean): Column = {
-    val ctx = detectContext(path)
     val dtype = ctx.getField("detected_type")
     val topic = ctx.getField("detected_topic")
     val clean = regexp_replace(path, "/$", "")
@@ -244,16 +251,20 @@ object Gateway {
     * runtime state, not a batch-derivable column. */
   def coldStartEnvelope(df: DataFrame, baseUrl: String,
       hasEcommerce: Boolean): DataFrame = {
-    val ctx = detectContext(col("path"))
     val caps =
       if (hasEcommerce) Seq("content", "search", "products")
       else Seq("content", "search")
-    df.withColumn("context", struct(
+    // detection computed ONCE into a struct column; everything downstream
+    // reads attribute references instead of re-inlining the when-chain
+    df.withColumn("_ctx", detectContext(col("path")))
+      .withColumn("context", struct(
         col("path").as("page_requested"),
-        ctx.getField("detected_type").as("detected_type"),
-        ctx.getField("detected_topic").as("detected_topic"),
+        col("_ctx").getField("detected_type").as("detected_type"),
+        col("_ctx").getField("detected_topic").as("detected_topic"),
         typedlit(caps).as("site_capabilities")))
-      .withColumn("questions", coldStartQuestions(col("path"), baseUrl, hasEcommerce))
+      .withColumn("questions",
+        coldStartQuestionsFrom(col("path"), col("_ctx"), baseUrl, hasEcommerce))
+      .drop("_ctx")
       .withColumn("endpoints", struct(
         lit(s"$baseUrl/openfeeder").as("content"),
         lit(s"$baseUrl/.well-known/openfeeder.json").as("discovery")))
@@ -271,9 +282,10 @@ object Gateway {
     .withColumn("query", coalesce(col("query"), lit("")))
     .withColumn("language", coalesce(col("language"), lit("en")))
 
-  /** buildTailoredResponse's recommended endpoints + query hints
-    * (gateway.js:230-276) for Mode-2 rows. Expects `intent`, `query`,
-    * `format`, `depth`, `path`, `detected_type` columns. The query AND the
+  /** buildTailoredResponse's recommended endpoints + query hints +
+    * current_page block (gateway.js:230-290) for Mode-2 rows. Expects
+    * `intent`, `query`, `format`, `depth`, `path`, `detected_type`,
+    * `detected_topic` columns. The query AND the
     * requested path are percent-encoded exactly like the reference's
     * `encodeURIComponent(query)` / `encodeURIComponent(context.page_requested)`
     * — a path `/a/b` renders as `url=%2Fa%2Fb`. */
@@ -308,8 +320,16 @@ object Gateway {
         concat(lit("GET /openfeeder?q="), encQ,
           lit("&format="), col("format"), lit("&depth="), col("depth"))))
       .otherwise(array(concat(lit("GET /openfeeder?url="), encPath)))
+    // current_page block (gateway.js:281-285): title = topic or null,
+    // summary = "<type> page" (detected_type is never null, so the JS
+    // falsy-guard reduces to the concat)
+    val currentPage = struct(
+      concat(lit(s"$baseUrl/openfeeder?url="), encPath).as("openfeeder_url"),
+      col("detected_topic").as("title"),
+      concat(col("detected_type"), lit(" page")).as("summary"))
     df.withColumn("recommended_endpoints", endpoints)
       .withColumn("query_hints", hints)
+      .withColumn("current_page", currentPage)
       .withColumn("tailored", lit(true))
   }
 }

@@ -1507,8 +1507,9 @@ object Queries {
     (s, dir) => {
       val reqs = Gateway.routeRequests(gatewayRequests(s, dir))
         .filter(col("route") === "mode2_direct")
-        .withColumn("detected_type",
-          Gateway.detectContext(col("path")).getField("detected_type"))
+        .withColumn("_ctx", Gateway.detectContext(col("path")))
+        .withColumn("detected_type", col("_ctx").getField("detected_type"))
+        .withColumn("detected_topic", col("_ctx").getField("detected_topic"))
         .withColumn("depth", lit(null).cast("string"))
         .withColumn("format", lit(null).cast("string"))
         .withColumn("query",
@@ -1517,7 +1518,9 @@ object Queries {
       Gateway.tailoredResponse(Gateway.withIntentDefaults(reqs), "https://site.example")
         .select(col("doc_id"), col("intent"), col("depth"), col("format"),
           to_json(col("recommended_endpoints")).as("endpoints_json"),
-          to_json(col("query_hints")).as("hints_json"))
+          to_json(col("query_hints")).as("hints_json"),
+          to_json(col("current_page"), Map("ignoreNullFields" -> "false"))
+            .as("current_page_json"))
         .orderBy("doc_id")
     },
     Some {
@@ -1529,6 +1532,15 @@ object Queries {
             AND regexp_matches(list_filter(string_split(regexp_replace(path, '/$$', ''), '/'), x -> len(x) > 0)[1],
               '(?i)^(product|products|shop|store|item|catalogue|catalog)$$')
             THEN 'product' ELSE 'other' END AS dtype,
+          -- full detected type/topic per path family (doc_id % 7), for the
+          -- current_page block
+          CASE doc_id % 7 WHEN 2 THEN 'product' WHEN 3 THEN 'article'
+            WHEN 4 THEN 'search' WHEN 5 THEN 'home' ELSE 'page' END AS full_type,
+          CASE doc_id % 7
+            WHEN 2 THEN 'Widget ' || doc_id
+            WHEN 3 THEN 'My Great Post ' || doc_id
+            WHEN 6 THEN 'part ' || doc_id
+            ELSE NULL END AS topic,
           CASE WHEN doc_id % 2 = 0 THEN 'spark & café tuning' ELSE '' END AS q,
           -- encodeURIComponent mirror, exact over this request log's
           -- alphabet: paths are [a-z0-9/_-] (only '/' encodes) and the
@@ -1572,7 +1584,11 @@ object Queries {
         to_json(CASE WHEN length(q) > 0 THEN
             ['GET /openfeeder?q=' || qe,
              'GET /openfeeder?q=' || qe || '&format=full-text&depth=standard']
-          ELSE ['GET /openfeeder?url=' || pe] END) AS hints_json
+          ELSE ['GET /openfeeder?url=' || pe] END) AS hints_json,
+        to_json(struct_pack(
+          openfeeder_url := 'https://site.example/openfeeder?url=' || pe,
+          title := topic,
+          summary := full_type || ' page')) AS current_page_json
       FROM routed ORDER BY doc_id"""
     })
 

@@ -61,8 +61,19 @@ object DumpPlans {
         fmt(SparkEntry.queries("p15_product_envelope")(spark, sf)),
       "a8_analytics_rollup (event fan-out explode → map-side combined rollup)" ->
         fmt(SparkEntry.queries("a8_analytics_rollup")(spark, sf)),
-      "s1_crawl_bfs (level-synchronous BFS; per-level checkpointed scans)" ->
-        fmt(SparkEntry.queries("s1_crawl_bfs")(spark, sf)),
+      "crawl BFS — ONE level's expansion (the checkpointed full query hides this shape)" -> {
+        // the per-level plan: links ⋈ frontier on src, anti-join visited —
+        // dumping the full s1 query would execute the whole BFS and show
+        // only a Scan ExistingRDD of the final checkpoint
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, lit}
+        val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+        val frontier = Seq(("a", 0)).toDF("url", "depth")
+        fmt(edges.join(frontier.select(col("url").as("src")), "src")
+          .select(col("dst").as("url")).distinct()
+          .join(frontier.select("url"), Seq("url"), "left_anti")
+          .select(col("url"), lit(1).as("depth")))
+      },
     )
     sections.foreach { case (title, plan) =>
       sb ++= s"\n## $title\n\n```\n${plan.trim.take(4000)}\n```\n"

@@ -64,14 +64,17 @@ class GatewaySpec extends AnyFunSuite {
 
   test("tailoredResponse percent-encodes query and path like gateway.js") {
     val t = spark; import t.implicits._
-    val reqs = Seq(("q1", "/products/widget 9", "product", "answer-question"))
-      .toDF("id", "path", "detected_type", "intent")
+    val reqs = Seq(("q1", "/products/widget 9", "product", "Widget 9", "answer-question"))
+      .toDF("id", "path", "detected_type", "detected_topic", "intent")
       .withColumn("depth", lit(null).cast("string"))
       .withColumn("format", lit(null).cast("string"))
       .withColumn("query", lit("spark & café tuning"))
       .withColumn("language", lit(null).cast("string"))
     val out = Gateway.tailoredResponse(Gateway.withIntentDefaults(reqs), "https://x.example")
-      .select("recommended_endpoints", "query_hints").collect().head
+      .select("recommended_endpoints", "query_hints", "current_page").collect().head
+    val cp = out.getStruct(2)
+    assert(cp.getString(0) == "https://x.example/openfeeder?url=%2Fproducts%2Fwidget%209")
+    assert(cp.getString(1) == "Widget 9" && cp.getString(2) == "product page")
     val eps = out.getSeq[org.apache.spark.sql.Row](0)
     assert(eps.head.getString(0) ==
       "https://x.example/openfeeder?q=spark%20%26%20caf%C3%A9%20tuning&format=full-text")

@@ -79,7 +79,6 @@ object Dedup {
           (agree * 1000 / k).cast("long").as("est_jaccard_x1000"))
         .filter(col("est_jaccard_x1000") >= minEstJaccardX1000)
         .localCheckpoint(true)
-        .orderBy("doc_a", "doc_b")
     } finally sigs.unpersist()
   }
 
@@ -96,6 +95,5 @@ object Dedup {
         round(VectorOps.cosine(col("a.embedding"), col("b.embedding")) * 10000).cast("long")
           .as("cos_x10000"))
       .filter(col("cos_x10000") >= thresholdX10000)
-      .orderBy("vec_a", "vec_b")
   }
 }

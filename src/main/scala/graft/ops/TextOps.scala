@@ -173,7 +173,6 @@ object TextOps {
         .filter(col("jaccard_x1000") >= thresholdX1000)
         .select("doc_a", "doc_b", "jaccard_x1000")
         .localCheckpoint(true)
-        .orderBy("doc_a", "doc_b")
     } finally shingled.unpersist()
   }
 
@@ -207,7 +206,7 @@ object TextOps {
     val sim = (0 until 64).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Portable SimHash: identical to [[simHash]] in structure but the word
@@ -232,7 +231,6 @@ object TextOps {
       when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col("doc_id"), fold("hi").as("sim_hi"), fold("lo").as("sim_lo"))
-      .orderBy("doc_id")
   }
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bits, using
@@ -255,6 +253,5 @@ object TextOps {
         ham.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 }

@@ -822,7 +822,7 @@ object Queries {
     // shingles shared by a large corpus fraction are what turns the
     // shingle self-join quadratic
     (s, dir) => TextOps.ngramJaccardPairs(rd(s, dir, "documents"), n = 3,
-      thresholdX1000 = 200, maxDfPct = Some(5)),
+      thresholdX1000 = 200, maxDfPct = Some(5)).orderBy("doc_a", "doc_b"),
     Some("""WITH words AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
       ), idx AS (
@@ -916,7 +916,7 @@ object Queries {
     })
 
   private val xSimHash = Q(
-    (s, dir) => TextOps.simHashPortable(rd(s, dir, "documents")),
+    (s, dir) => TextOps.simHashPortable(rd(s, dir, "documents")).orderBy("doc_id"),
     Some {
       def votes(h: String, prefix: String) = (0 until 32).map(b =>
         s"sum(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS $prefix$b").mkString(",\n        ")
@@ -942,7 +942,8 @@ object Queries {
     * the oracle; the xxhash64 production path is exercised in OpsSpec. */
   private val xMinHashPairs = Q(
     (s, dir) => Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16,
-      bands = 4, minEstJaccardX1000 = 250, portable = true, maxDfPct = Some(5)),
+      bands = 4, minEstJaccardX1000 = 250, portable = true, maxDfPct = Some(5))
+      .orderBy("doc_a", "doc_b"),
     Some {
       val k = 16; val bands = 4; val r = k / bands
       val mins = (0 until k).map(j =>
@@ -1034,7 +1035,7 @@ object Queries {
 
   private val xEmbeddingNearDup = Q(
     (s, dir) => Dedup.embeddingNearDups(rd(s, dir, "embeddings"), dim = 64,
-      thresholdX10000 = 3500, nPlanes = 6),
+      thresholdX10000 = 3500, nPlanes = 6).orderBy("vec_a", "vec_b"),
     Some {
       s"""WITH sig AS (
         SELECT vec_id, embedding, ${lshSigSql("embedding", 64, 6)} AS lsh_sig

@@ -158,10 +158,32 @@ class PlanSpec extends AnyFunSuite {
 
   test("library dedup/fingerprint operators carry no sort (ordering is the query layer's)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // a range-partitioned Sort inside a library operator is a full extra
+    // shuffle for every consumer at 10^9 docs; none of these may embed one
+    // (SortMergeJoin/SortAggregate sorts are partition-local — the killer
+    // is "Exchange rangepartitioning", which only a global orderBy plans)
+    def assertNoGlobalSort(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning"),
+        s"$name must not embed a global sort:\n" + p.take(1500))
+    }
+    assertNoGlobalSort("exactDedup", graft.ops.TextOps.exactDedup(docs))
+    assertNoGlobalSort("fingerprint", graft.ops.TextOps.fingerprint(docs))
+    assertNoGlobalSort("simHash", graft.ops.TextOps.simHash(docs))
+    assertNoGlobalSort("simHashPortable", graft.ops.TextOps.simHashPortable(docs))
+    assertNoGlobalSort("simHashPairs", graft.ops.TextOps.simHashPairs(docs))
+    assertNoGlobalSort("ngramJaccardPairs",
+      graft.ops.TextOps.ngramJaccardPairs(docs, n = 3, thresholdX1000 = 300, maxDfPct = Some(5)))
+    assertNoGlobalSort("minHashPairs",
+      graft.ops.Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4, minEstJaccardX1000 = 500))
+    assertNoGlobalSort("embeddingNearDups",
+      graft.ops.Dedup.embeddingNearDups(emb, dim = 64, thresholdX10000 = 3500, nPlanes = 6))
+    // the stricter no-Sort-at-all shape still holds for the two scalar ops
     val pd = graft.ops.TextOps.exactDedup(docs).queryExecution.executedPlan.toString
-    assert(!pd.contains("Sort "), "exactDedup must not embed a global sort:\n" + pd.take(1200))
+    assert(!pd.contains("Sort "), "exactDedup must not embed any sort:\n" + pd.take(1200))
     val pf = graft.ops.TextOps.fingerprint(docs).queryExecution.executedPlan.toString
-    assert(!pf.contains("Sort "), "fingerprint must not embed a global sort:\n" + pf.take(1200))
+    assert(!pf.contains("Sort "), "fingerprint must not embed any sort:\n" + pf.take(1200))
   }
 
   test("sync envelope composes as one plan: no window, partial collect aggs, 1-row join") {

@@ -1360,7 +1360,10 @@ object Queries {
     * gatewayRequests plus status/duration/rate-limit/search/sync columns
     * and a 5-way UA cycle (human / GPTBot / ClaudeBot / Googlebot / empty)
     * so every detect_bot branch — known bot, human-or-unknown, empty-UA —
-    * is exercised. */
+    * is exercised. A 23-cycle path override injects the two internal
+    * endpoints (middleware exemptions, main.py:206-208) and a 9-cycle
+    * url_param exercises single-page mode, so every emission rule has
+    * rows on both sides. */
   private def analyticsRequests(s: SparkSession, dir: String): DataFrame =
     gatewayRequests(s, dir)
       .withColumn("ua",
@@ -1369,6 +1372,12 @@ object Queries {
           .when(pmod(col("doc_id"), lit(5)) === 2, "ClaudeBot/1.0")
           .when(pmod(col("doc_id"), lit(5)) === 3, "Googlebot/2.1 (+http://www.google.com/bot.html)")
           .otherwise(""))
+      .withColumn("path",
+        when(pmod(col("doc_id"), lit(23)) === 0, "/.well-known/openfeeder.json")
+          .when(pmod(col("doc_id"), lit(23)) === 1, "/healthz")
+          .otherwise(col("path")))
+      .withColumn("url_param",
+        when(pmod(col("doc_id"), lit(9)) === 0, concat(lit("/blog/my_great-post-"), col("doc_id"))))
       .withColumn("status_code",
         when(pmod(col("doc_id"), lit(17)) === 0, 500)
           .when(pmod(col("doc_id"), lit(13)) === 0, 404)
@@ -1397,6 +1406,7 @@ object Queries {
       doc_id % 19 = 0 AS rate_limited,
       CASE WHEN doc_id % 4 = 0 THEN 'term-' || (doc_id % 7) END AS q_term,
       doc_id % 6 = 0 AS is_sync,
+      CASE WHEN doc_id % 9 = 0 THEN '/blog/my_great-post-' || doc_id END AS url_param,
       strftime(DATE '2024-01-01' + CAST(doc_id % 10 AS INT), '%Y-%m-%d') AS day,
       $botName AS bot_name, $botFam AS bot_family
       FROM (SELECT * REPLACE (CASE doc_id % 5
@@ -1404,36 +1414,68 @@ object Queries {
         WHEN 1 THEN 'GPTBot/1.0 (+https://openai.com/gptbot)'
         WHEN 2 THEN 'ClaudeBot/1.0'
         WHEN 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
-        ELSE '' END AS ua)
+        ELSE '' END AS ua,
+        CASE WHEN doc_id % 23 = 0 THEN '/.well-known/openfeeder.json'
+          WHEN doc_id % 23 = 1 THEN '/healthz'
+          ELSE path END AS path)
       FROM ($gatewayRequestsSql))"""
   }
 
   private def analyticsEventsSql: String =
-    s"""SELECT doc_id, method, path, status_code, duration_ms, day,
-      bot_name, bot_family,
-      regexp_extract(path, '^/[^/]*') AS endpoint,
-      unnest(list_filter([
-        CASE WHEN rate_limited THEN 'api.ratelimit' END,
-        CASE WHEN NOT rate_limited AND status_code < 500 THEN 'api.request' END,
-        CASE WHEN NOT rate_limited AND status_code < 500 AND bot_family <> 'unknown' THEN 'api.bot' END,
-        CASE WHEN NOT rate_limited AND status_code >= 400 THEN 'api.error' END,
-        CASE WHEN NOT rate_limited AND status_code = 200 AND q_term IS NOT NULL THEN 'api.search' END,
-        CASE WHEN NOT rate_limited AND status_code = 200 AND q_term IS NULL AND is_sync THEN 'api.sync' END
-      ], x -> x IS NOT NULL)) AS event_type
-      FROM ($analyticsRequestsSql)"""
+    s"""WITH r0 AS ($analyticsRequestsSql),
+      r AS (
+        SELECT *,
+          path IN ('/healthz', '/.well-known/openfeeder.json') AS internal,
+          (rate_limited AND path NOT IN ('/healthz', '/.well-known/openfeeder.json')) AS limited,
+          (path = '/openfeeder' AND method = 'GET') AS is_feed,
+          CASE WHEN is_sync AND q_term IS NULL THEN 'stats'
+               WHEN url_param IS NULL AND q_term IS NULL THEN 'index'
+               WHEN q_term IS NOT NULL THEN 'search'
+               ELSE 'single' END AS mode
+        FROM r0
+      ),
+      base AS (
+        SELECT doc_id, method, path, status_code, duration_ms, day,
+          bot_name, bot_family, regexp_extract(path, '^/[^/]*') AS endpoint,
+          internal, limited, is_feed, mode, q_term, is_sync
+        FROM r
+      )
+      SELECT * EXCLUDE (internal, limited, is_feed, mode, q_term, is_sync) FROM (
+        SELECT *, 'api.ratelimit' AS event_type, CAST(NULL AS VARCHAR) AS request_type
+          FROM base WHERE limited
+        UNION ALL
+        SELECT *, 'api.request', NULL FROM base
+          WHERE NOT limited AND (internal OR status_code < 500)
+        UNION ALL
+        SELECT *, 'api.bot', NULL FROM base
+          WHERE NOT limited AND NOT internal AND status_code < 500 AND bot_family <> 'unknown'
+        UNION ALL
+        SELECT *, 'api.search', NULL FROM base
+          WHERE is_feed AND NOT limited AND q_term IS NOT NULL AND status_code IN (200, 404)
+        UNION ALL
+        SELECT *, 'api.sync', NULL FROM base
+          WHERE is_feed AND NOT limited AND status_code = 200 AND q_term IS NULL AND is_sync
+        UNION ALL
+        SELECT *, 'api.request', mode FROM base
+          WHERE is_feed AND NOT limited AND (status_code = 200
+            OR (status_code = 404 AND mode IN ('search', 'single')))
+      )"""
 
-  /** A7: the 6-typed analytics event stream derived from the request log —
-    * analytics_provider.py:44-191 event taxonomy under main.py:225-300
-    * emission rules (rate-limited → ratelimit only; api.request + api.bot +
-    * search/sync/error otherwise). */
+  /** A7: the typed analytics event stream derived from the request log —
+    * analytics_provider.py:44-191 event taxonomy under the exact
+    * middleware + handler emission rules (see [[Analytics]] Scaladoc for
+    * the call-site-by-call-site mapping: internal-endpoint exemption,
+    * ratelimit-only 429s, the handler's second api.request with
+    * request_type, search on 200 AND the zero-result 404, no api.error). */
   private val a7AnalyticsEvents = Q(
     (s, dir) => Analytics.deriveEvents(analyticsRequests(s, dir))
-      .select("doc_id", "event_type", "endpoint", "method", "status_code",
-        "duration_ms", "bot_name", "bot_family", "day")
-      .orderBy("doc_id", "event_type"),
-    Some(s"""SELECT doc_id, event_type, endpoint, method, status_code,
+      .select("doc_id", "event_type", "request_type", "endpoint", "method",
+        "status_code", "duration_ms", "bot_name", "bot_family", "day")
+      .orderBy(col("doc_id"), col("event_type"), coalesce(col("request_type"), lit(""))),
+    Some(s"""SELECT doc_id, event_type, request_type, endpoint, method, status_code,
       duration_ms, bot_name, bot_family, day
-      FROM ($analyticsEventsSql) ORDER BY doc_id, event_type"""))
+      FROM ($analyticsEventsSql)
+      ORDER BY doc_id, event_type, coalesce(request_type, '')"""))
 
   /** A8: the ANALYTICS.md headline rollup — events by bot_family ×
     * endpoint × day. */

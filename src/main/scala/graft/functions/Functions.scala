@@ -49,6 +49,20 @@ object Functions {
       (exprs: Seq[Expression]) => IsoDurationHumanize(exprs.head),
       "built-in")
 
+    // of_etag(body) — the express adapter's makeEtag (etag.js:11-13):
+    // quoted 16-hex md5 prefix of the serialized body. Composed from
+    // built-in catalyst expressions, so it stays inside codegen.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "of_etag",
+      { (exprs: Seq[Expression]) =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Literal, Md5, Substring}
+        Concat(Seq(Literal("\""),
+          Substring(Md5(Cast(exprs.head, org.apache.spark.sql.types.BinaryType)),
+            Literal(1), Literal(16)),
+          Literal("\"")))
+      },
+      "built-in")
+
     // Scala UDFs over the pure extraction core
     spark.udf.register("of_clean_html",
       udf((html: String) => AdapterChunker.cleanHtml(html)))

@@ -1490,6 +1490,50 @@ object Queries {
       GROUP BY bot_family, endpoint, day
       ORDER BY bot_family, endpoint, day"""))
 
+  /** C1: the adapters' conditional-response surface — classify a request
+    * log into 200/304 by ETag revalidation, exactly as the express
+    * adapter does (see [[Caching]]): ETag is the quoted 16-hex md5 prefix
+    * of the serialized body (etag.js:11-13), 304 iff If-None-Match equals
+    * it exactly (content.js:282-283), If-Modified-Since deliberately NOT
+    * honored (test-caching.js:219-225 — rows with only a past
+    * If-Modified-Since stay 200), Last-Modified rendered toUTCString
+    * (content.js:30-35). The If-None-Match synthesis cycles
+    * match / stale-value / absent so both terminal statuses appear. */
+  private val c1ConditionalCache = Q(
+    (s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val body = concat(
+        lit("{\"schema\":\"openfeeder/1.0\",\"url\":\"/docs/"), col("doc_id"),
+        lit("\",\"fingerprint\":\""), md5(col("text")), lit("\"}"))
+      val et = Caching.etag(body)
+      val inm = when(pmod(col("doc_id"), lit(3)) === 0, et)
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("\"wrong-etag-value\""))
+      val lastMod = Caching.toUtcString(
+        date_add(lit("2025-01-01").cast("date"), pmod(col("doc_id"), lit(28)).cast("int")))
+      docs.select(col("doc_id"), et.as("etag"),
+        Caching.conditionalStatus(et, inm).as("status_code"),
+        lastMod.as("last_modified"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (
+        SELECT doc_id,
+          '{"schema":"openfeeder/1.0","url":"/docs/' || doc_id ||
+            '","fingerprint":"' || md5(text) || '"}' AS body
+        FROM documents
+      ), e AS (
+        SELECT doc_id, '"' || substr(md5(body), 1, 16) || '"' AS etag FROM b
+      ), r AS (
+        SELECT doc_id, etag,
+          CASE WHEN doc_id % 3 = 0 THEN etag
+               WHEN doc_id % 3 = 1 THEN '"wrong-etag-value"' END AS inm
+        FROM e
+      )
+      SELECT doc_id, etag,
+        CASE WHEN inm = etag THEN 304 ELSE 200 END AS status_code,
+        strftime(DATE '2025-01-01' + CAST(doc_id % 28 AS INT),
+          '%a, %d %b %Y %H:%M:%S GMT') AS last_modified
+      FROM r ORDER BY doc_id"""))
+
   /** Gateway mode routing + context detection (gateway.js:18-75,319-346),
     * every branch oracle-checked. */
   private val g1GatewayRoute = Q(
@@ -1794,6 +1838,7 @@ object Queries {
     "a6_rate_window" -> a6RateWindow,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
+    "c1_conditional_cache" -> c1ConditionalCache,
     "t2_sync_window" -> t2SyncWindow,
     "j5_sync_buckets" -> j5SyncBuckets,
     "t3_sync_token" -> t3SyncToken,

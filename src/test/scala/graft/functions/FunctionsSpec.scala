@@ -102,4 +102,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "unknown")
     assert(r.getString(4) == "%2Fa%20b%2Fcaf%C3%A9%3F%26")
   }
+
+  test("of_etag matches makeEtag: quoted 16-hex md5 prefix; 304 only on exact match") {
+    Functions.registerAll(spark)
+    // node -e 'crypto.createHash("md5").update("{\"a\":1}").digest("hex")'
+    // → 608444806b8a4f9e2c6e64e8b8b69c1b... (the first 16 chars quoted is
+    // the etag.js:11-13 contract); computed independently via JDK below
+    val body = """{"a":1}"""
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = "\"" + md.take(16) + "\""
+    val r = spark.sql(s"""SELECT of_etag('$body') AS e""").collect().head
+    assert(r.getString(0) == expected)
+    assert(r.getString(0).length == 18 && r.getString(0).startsWith("\""))
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = spark; import s.implicits._
+    val df = Seq((body, expected), (body, "\"wrong\""), (body, null))
+      .toDF("body", "inm")
+    val statuses = df.select(graft.query.Caching.conditionalStatus(
+        graft.query.Caching.etag(col("body")), col("inm")).as("s"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(statuses == Seq(304, 200, 200), "exact match 304s; mismatch and absent header 200")
+    // If-Modified-Since alone never produces a 304 (test-caching.js:219-225):
+    // conditionalStatus takes no such input by design — absent header = 200
+    val lm = df.limit(1).select(graft.query.Caching.toUtcString(
+        lit("2025-01-15 10:00:00").cast("timestamp")).as("lm")).collect().head.getString(0)
+    assert(lm == "Wed, 15 Jan 2025 10:00:00 GMT")
+  }
 }

@@ -479,18 +479,82 @@ object Queries {
     Some("""SELECT l_orderkey, count(*) AS n_items FROM lineitem
       GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 1000"""))
 
-  /** A6: rate-limit sliding-window count, batch analog
-    * (rate_limiter.py:55-104). */
+  /** A6: the full per-endpoint rate limiter — exact `check_rate_limit`
+    * admission sequencing (rate_limiter.py:164-218) with
+    * `_get_endpoint_limit` classification (rate_limiter.py:145-162) and
+    * the X-RateLimit-Reset / retry_after math, per [[RateLimits]]. The
+    * request log is synthesized deterministically from events (20 ips ×
+    * the 5 endpoint classes; times spread over a 1200 s burst; first 40
+    * per bucket), with per-class limits {default 4, search 2, discover 4,
+    * sync 3, webhook 1} — the reference's RATE_LIMIT_*_RPM env knobs
+    * scaled so both verdicts appear at test scale. The oracle replays the
+    * same greedy admission with a recursive CTE carrying each bucket's
+    * allowed-timestamp window, so the denial SET (not just counts) and
+    * every reset/retry_after value are checked. */
   private val a6RateWindow = Q(
-    (s, dir) => rd(s, dir, "events")
-      .groupBy(col("user_id"), date_format(date_trunc("minute", col("ts")),
-        "yyyy-MM-dd'T'HH:mm").as("minute"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .orderBy("user_id", "minute"),
-    Some("""SELECT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M') AS minute,
-      count(*) AS n FROM events GROUP BY 1, 2 HAVING count(*) >= 2
-      ORDER BY user_id, minute"""))
+    (s, dir) => {
+      val cfg = RateLimits.Config(defaultRpm = 4, searchRpm = 2,
+        discoverRpm = 4, syncRpm = 3, webhookRpm = 1)
+      val endpoint = when(pmod(col("event_id"), lit(5)) === 0, "/openfeeder?q=term")
+        .when(pmod(col("event_id"), lit(5)) === 1, "/openfeeder/sync")
+        .when(pmod(col("event_id"), lit(5)) === 2, "/webhook/update")
+        .when(pmod(col("event_id"), lit(5)) === 3, "/.well-known/openfeeder.json")
+        .otherwise("/openfeeder")
+      val reqs0 = rd(s, dir, "events").select(
+        pmod(col("user_id"), lit(20)).as("ip"), endpoint.as("endpoint"),
+        pmod(col("event_id") * 7, lit(1200)).cast("long").as("sec"),
+        col("event_id"))
+      val reqs = reqs0
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("ip", "endpoint").orderBy("sec", "event_id")))
+        .filter(col("rn") <= 40).drop("rn")
+        .withColumn("limit_rpm", RateLimits.endpointLimit(col("endpoint"), cfg))
+      import s.implicits._
+      RateLimits.simulate(reqs.as[RateLimits.Req])
+        .toDF()
+        .orderBy("ip", "endpoint", "event_id")
+    },
+    Some("""WITH RECURSIVE reqs AS (
+        SELECT * FROM (
+          SELECT user_id % 20 AS ip,
+            CASE event_id % 5 WHEN 0 THEN '/openfeeder?q=term'
+              WHEN 1 THEN '/openfeeder/sync' WHEN 2 THEN '/webhook/update'
+              WHEN 3 THEN '/.well-known/openfeeder.json' ELSE '/openfeeder' END AS endpoint,
+            CAST((event_id * 7) % 1200 AS BIGINT) AS sec,
+            event_id,
+            row_number() OVER (PARTITION BY user_id % 20,
+              CASE event_id % 5 WHEN 0 THEN '/openfeeder?q=term'
+                WHEN 1 THEN '/openfeeder/sync' WHEN 2 THEN '/webhook/update'
+                WHEN 3 THEN '/.well-known/openfeeder.json' ELSE '/openfeeder' END
+              ORDER BY (event_id * 7) % 1200, event_id) AS rn
+          FROM events)
+        WHERE rn <= 40
+      ), lim AS (
+        SELECT *, CASE WHEN contains(endpoint, '?q=') THEN 2
+          WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
+          WHEN contains(split_part(endpoint, '?', 1), 'webhook')
+            OR contains(split_part(endpoint, '?', 1), 'update') THEN 1
+          WHEN contains(split_part(endpoint, '?', 1), 'sync') THEN 3
+          ELSE 4 END AS limit_rpm
+        FROM reqs
+      ), sim AS (
+        SELECT ip, endpoint, rn, sec, event_id, limit_rpm,
+          TRUE AS allowed, limit_rpm AS remaining, sec + 60 AS reset_ts,
+          CAST(NULL AS BIGINT) AS retry_after, [sec] AS q
+        FROM lim WHERE rn = 1
+        UNION ALL
+        SELECT r.ip, r.endpoint, r.rn, r.sec, r.event_id, r.limit_rpm,
+          len(pq) < r.limit_rpm AS allowed,
+          greatest(r.limit_rpm - len(pq), 0) AS remaining,
+          CASE WHEN len(pq) < r.limit_rpm THEN r.sec + 60 ELSE pq[1] + 60 END AS reset_ts,
+          CASE WHEN len(pq) < r.limit_rpm THEN NULL ELSE pq[1] + 60 END AS retry_after,
+          CASE WHEN len(pq) < r.limit_rpm THEN list_append(pq, r.sec) ELSE pq END AS q
+        FROM sim s JOIN lim r ON r.ip = s.ip AND r.endpoint = s.endpoint AND r.rn = s.rn + 1,
+        LATERAL (SELECT list_filter(s.q, x -> x >= r.sec - 59) AS pq) t
+      )
+      SELECT ip, endpoint, event_id, sec, CAST(limit_rpm AS INT) AS limit_rpm,
+        allowed, CAST(remaining AS INT) AS remaining, reset_ts, retry_after
+      FROM sim ORDER BY ip, endpoint, event_id"""))
 
   /** T2: differential sync window — inclusive [since, until]
     * (indexer.py:339-377). */

@@ -38,16 +38,52 @@ object StreamOps {
       .start()
   }
 
-  /** A6/T6: events per user per sliding 60 s window (10 s slide), flagging
-    * users over `limit` — `/root/reference/sidecar/rate_limiter.py:28-104`.
-    * The watermark bounds state: late events beyond 2 min are dropped. */
-  def rateLimitWindows(events: DataFrame, limit: Long): DataFrame =
+  /** A6/T6: events per (user, endpoint) per sliding 60 s window (10 s
+    * slide), flagging buckets over their ENDPOINT-CLASS limit —
+    * `_get_endpoint_limit` of `/root/reference/sidecar/rate_limiter.py:
+    * 145-162` with the {default 100, search 30, discover 100, sync 60,
+    * webhook 10} rpm map (overridable via `cfg`, the RATE_LIMIT_*_RPM
+    * env knobs). The watermark bounds state: late events beyond 2 min
+    * drop. This is the monitoring VIEW (which windows ran hot); exact
+    * per-request admission is [[rateLimitDecisions]] /
+    * `graft.query.RateLimits.simulate`. */
+  def rateLimitWindows(events: DataFrame,
+      cfg: graft.query.RateLimits.Config = graft.query.RateLimits.Config())
+      : DataFrame =
     events
       .withWatermark("ts", "2 minutes")
-      .groupBy(window(col("ts"), "60 seconds", "10 seconds"), col("user_id"))
+      .groupBy(window(col("ts"), "60 seconds", "10 seconds"),
+        col("user_id"), col("endpoint"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > limit)
-      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+      .filter(col("n") > graft.query.RateLimits.endpointLimit(col("endpoint"), cfg))
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("endpoint"), col("n"))
+
+  /** Exact streaming admission — `check_rate_limit`
+    * (rate_limiter.py:164-218) as flatMapGroupsWithState: one decision
+    * row per request with the allow/deny verdict, remaining, reset_ts and
+    * retry_after; group state per (ip, endpoint) bucket is just the
+    * allowed timestamps still inside the 60 s window — AT MOST `limit`
+    * longs, the same bound the reference's cleanup keeps. Within a
+    * micro-batch requests sort by (sec, event_id); exactness across
+    * batches needs bucket-monotonic arrival (the ingestion contract, as
+    * for turn positions). */
+  def rateLimitDecisions(reqs: Dataset[graft.query.RateLimits.Req])
+      : Dataset[graft.query.RateLimits.Decision] = {
+    import reqs.sparkSession.implicits._
+    reqs.groupByKey(r => (r.ip, r.endpoint))
+      .flatMapGroupsWithState[Seq[Long], graft.query.RateLimits.Decision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), batch: Iterator[graft.query.RateLimits.Req],
+            state: GroupState[Seq[Long]]) =>
+          val q = scala.collection.mutable.ArrayDeque.from(
+            state.getOption.getOrElse(Seq.empty))
+          val out = graft.query.RateLimits.decideBucket(
+            batch.toVector.sortBy(r => (r.sec, r.event_id)), q)
+          state.update(q.toSeq)
+          out.iterator
+      }
+  }
 
   /** Streaming stable turn ordering (W2's streaming twin): per-conversation
     * positions assigned incrementally ACROSS micro-batches. State = one

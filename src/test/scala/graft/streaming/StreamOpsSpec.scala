@@ -46,29 +46,64 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(one.getString(0) == batch.title && one.getInt(1) == batch.n_chunks)
   }
 
-  test("rate-limit sliding windows with watermark over event stream") {
+  test("rate-limit sliding windows flag per-endpoint-class limits") {
     import spark.implicits._
     val in = Files.createTempDirectory("rl-in").toString + "/data"
-    // one user fires 12 events in one minute; another fires 2
+    // user 1 fires 12 search events in one minute (over the scaled search
+    // limit), user 2 fires 12 default-endpoint events (under default 100)
     val rows = (0 until 12).map(i =>
-      (1L, new java.sql.Timestamp(1700000000000L + i * 5000L))) ++
-      Seq((2L, new java.sql.Timestamp(1700000000000L)),
-        (2L, new java.sql.Timestamp(1700000030000L)))
-    rows.toDF("user_id", "ts").write.parquet(in)
+      (1L, "/openfeeder?q=term", new java.sql.Timestamp(1700000000000L + i * 5000L))) ++
+      (0 until 12).map(i =>
+        (2L, "/openfeeder", new java.sql.Timestamp(1700000000000L + i * 5000L)))
+    rows.toDF("user_id", "endpoint", "ts").write.parquet(in)
     val stream = spark.readStream
-      .schema("user_id LONG, ts TIMESTAMP")
+      .schema("user_id LONG, endpoint STRING, ts TIMESTAMP")
       .parquet(in)
     // Complete mode: the rate limiter asks "who is over the limit right
     // now" — no need to wait for the watermark to close windows (append
     // mode would hold back unclosed windows within a single catch-up run)
-    val q = StreamOps.rateLimitWindows(stream, limit = 10)
+    val q = StreamOps.rateLimitWindows(stream,
+        graft.query.RateLimits.Config(searchRpm = 10))
       .writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName("rl")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val flagged = spark.sql("SELECT DISTINCT user_id FROM rl").collect().map(_.getLong(0))
-    assert(flagged.toSet == Set(1L))
+    val flagged = spark.sql("SELECT DISTINCT user_id, endpoint FROM rl").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(flagged.toSet == Set((1L, "/openfeeder?q=term")),
+      "only the search bucket exceeds its class limit")
+  }
+
+  test("streaming admission decisions carry bucket window state across micro-batches") {
+    import spark.implicits._
+    import graft.query.RateLimits.{Decision, Req}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Req]
+    val q = StreamOps.rateLimitDecisions(source.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rldec")
+      .start()
+    // webhook-class bucket, limit 1: first allowed, second denied with
+    // reset = oldest allowed + 60 (rate_limiter.py:196-203)
+    source.addData(Req(1L, "/webhook/update", 0L, 1L, 1),
+      Req(1L, "/webhook/update", 10L, 2L, 1))
+    q.processAllAvailable()
+    // next batch: sec 30 still inside the window of the sec-0 allow →
+    // denied (state survived the batch boundary); sec 80 → the sec-0
+    // entry aged out, allowed again
+    source.addData(Req(1L, "/webhook/update", 30L, 3L, 1),
+      Req(1L, "/webhook/update", 80L, 4L, 1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT event_id, allowed, reset_ts, retry_after FROM rldec ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, true, 60L, -1L),   // allowed: reset = now + 60
+      (2L, false, 60L, 60L),  // denied: reset = oldest(0) + 60, retry_after absolute
+      (3L, false, 60L, 60L),  // state crossed the micro-batch boundary
+      (4L, true, 140L, -1L))) // window drained → allowed again
   }
 
   test("streaming analytics rollup: watermarked day windows per bot_family x endpoint") {

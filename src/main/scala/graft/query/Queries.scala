@@ -708,6 +708,55 @@ object Queries {
                added := added, updated := updated, deleted := deleted)) AS envelope
       FROM buckets, dels"""))
 
+  /** The keyset-paginated sync feed — the scale-safe companion to
+    * [[xSyncEnvelope]]: the same [since, until] change window and
+    * page_obj item shape, served as cursor pages instead of one
+    * collect_list row. The reference's own index endpoint paginates
+    * exactly like this (`/root/reference/sidecar/main.py:474-499`
+    * page/limit over the ordered item set); here the cursor is the last
+    * url of the previous page (keyset — an OFFSET would re-scan the
+    * window's prefix every page at 10^9 changed pages), `limit` items per
+    * page ordered by url, each row tagged with its added/updated bucket.
+    * Plans as filter → TakeOrderedAndProject: no window functions, no
+    * single-row aggregation of the full change set (PlanSpec pins it). */
+  private val xSyncPage = Q(
+    (s, dir) => {
+      val sinceTs = lit("2024-01-10 00:00:00").cast("timestamp")
+      val untilTs = lit("2024-01-20 00:00:00").cast("timestamp")
+      def iso(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+      val cursor = "/page/3" // last url of the previous page (keyset)
+      rd(s, dir, "events").select(
+          concat(lit("/page/"), col("event_id")).as("url"),
+          col("event_type").as("title"),
+          col("ts").as("indexed_at"),
+          expr("timestampadd(DAY, -CAST(event_id % 20 AS INT), ts)").as("first_indexed_at"),
+          col("event_id"))
+        .filter(col("indexed_at") >= sinceTs && col("indexed_at") <= untilTs)
+        .filter(col("url") > cursor)
+        .select(
+          when(col("first_indexed_at") >= sinceTs, "added").otherwise("updated").as("bucket"),
+          col("url"), col("title"),
+          when(pmod(col("event_id"), lit(3)) =!= 0, iso(col("first_indexed_at")))
+            .as("published"),
+          iso(col("indexed_at")).as("updated"),
+          concat(lit("Event "), col("event_id")).as("summary"))
+        .orderBy("url")
+        .limit(50)
+    },
+    Some("""SELECT CASE WHEN ts - (event_id % 20) * INTERVAL 1 DAY
+               >= TIMESTAMP '2024-01-10 00:00:00' THEN 'added' ELSE 'updated' END AS bucket,
+        '/page/' || event_id AS url,
+        event_type AS title,
+        CASE WHEN event_id % 3 <> 0 THEN
+          strftime(ts - (event_id % 20) * INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%S') END AS published,
+        strftime(ts, '%Y-%m-%dT%H:%M:%S') AS updated,
+        'Event ' || event_id AS summary
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        AND '/page/' || event_id > '/page/3'
+      ORDER BY url LIMIT 50"""))
+
   // ======================================================================
   // §2.7 joins & set ops
   // ======================================================================
@@ -779,22 +828,49 @@ object Queries {
       GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
   /** S11: JSON response envelope `schema:"openfeeder/1.0"` —
-    * `/root/reference/sidecar/main.py:489-641`. Rendered with `to_json`
-    * (compact, insertion-ordered — matches DuckDB's `to_json`). */
+    * `/root/reference/sidecar/main.py:489-641` — including the response
+    * cache metadata block `meta: {total_chunks, returned_chunks, cached,
+    * cache_age_seconds}` of the search/page responses (main.py:569-589):
+    * `cached = _last_crawl_ts > 0`, `cache_age_seconds = now −
+    * _last_crawl_ts` when a crawl has happened, JSON null otherwise
+    * (main.py:391-392). The crawl timestamp is synthesized per row (a
+    * 4-cycle never-crawled arm exercises the null path); `to_json` runs
+    * with ignoreNullFields=false so the null renders exactly as the
+    * reference serializes it. Rendered compact, insertion-ordered —
+    * matches DuckDB's `to_json`. */
   private val s11JsonEnvelope = Q(
-    (s, dir) => rd(s, dir, "documents")
-      .select(col("doc_id"),
-        to_json(struct(
-          lit("openfeeder/1.0").as("schema"),
-          concat(lit("/"), col("source"), lit("/item-"), col("doc_id")).as("url"),
-          col("lang").as("language"),
-          col("n_chars"))).as("envelope"))
-      .orderBy("doc_id"),
+    (s, dir) => {
+      val now = lit(1706000000L)
+      val lastCrawl = when(pmod(col("doc_id"), lit(4)) === 0, 0L)
+        .otherwise(lit(1705990000L) + pmod(col("doc_id"), lit(3600)))
+      val nChunks = expr("CAST(n_chars AS BIGINT) div 1500") + 1
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          to_json(struct(
+            lit("openfeeder/1.0").as("schema"),
+            concat(lit("/"), col("source"), lit("/item-"), col("doc_id")).as("url"),
+            col("lang").as("language"),
+            col("n_chars"),
+            struct(
+              nChunks.as("total_chunks"),
+              nChunks.as("returned_chunks"),
+              (lastCrawl > 0).as("cached"),
+              when(lastCrawl > 0, now - lastCrawl).cast("long")
+                .as("cache_age_seconds")).as("meta")),
+            Map("ignoreNullFields" -> "false")).as("envelope"))
+        .orderBy("doc_id")
+    },
     Some("""SELECT doc_id, to_json(struct_pack(
         schema := 'openfeeder/1.0',
         url := '/' || source || '/item-' || doc_id,
         language := lang,
-        n_chars := n_chars)) AS envelope
+        n_chars := n_chars,
+        meta := struct_pack(
+          total_chunks := n_chars // 1500 + 1,
+          returned_chunks := n_chars // 1500 + 1,
+          cached := doc_id % 4 <> 0,
+          cache_age_seconds := CASE WHEN doc_id % 4 <> 0
+            THEN 1706000000 - (1705990000 + doc_id % 3600) END))) AS envelope
       FROM documents ORDER BY doc_id"""))
 
   /** P6: URL param sanitization — pathname only, strip trailing slash,
@@ -1907,6 +1983,7 @@ object Queries {
     "j5_sync_buckets" -> j5SyncBuckets,
     "t3_sync_token" -> t3SyncToken,
     "x_sync_envelope" -> xSyncEnvelope,
+    "x_sync_page" -> xSyncPage,
     "j1_broadcast_join" -> j1BroadcastJoin,
     "j3_anti_join" -> j3AntiJoin,
     "j6_union_dedup" -> j6UnionDedup,

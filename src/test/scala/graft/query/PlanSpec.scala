@@ -195,6 +195,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("keyset sync page plans as top-k: no window, no full-window collect") {
+    val p = plan("x_sync_page")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Window"), "keyset pagination must not use a window:\n" + p.take(1500))
+    assert(!p.toLowerCase.contains("collect_list"),
+      "the paginated feed must not build the single-row envelope:\n" + p.take(1500))
+  }
+
   test("ANN store layouts prune partitions: IVF by cell, LSH by signature") {
     import graft.ops.VectorOps
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -36,35 +36,105 @@ object Crawl {
 
   /** BFS over `links(src, dst)` from `seeds`, up to `maxDepth` levels.
     * Returns (url, depth) with depth = first-discovery level (the min
-    * BFS distance). */
+    * BFS distance).
+    *
+    * Visited-set hygiene: only each level's DELTA is materialized
+    * (localCheckpoint of the newly-discovered urls); the visited set used
+    * by the anti-join is a lazy union over the per-level delta frames, and
+    * the full result is unioned once at exit. Re-checkpointing the whole
+    * visited set every level would write O(depth·V) rows of storage for a
+    * set the deltas already hold exactly once — at 10^9 urls and depth 20
+    * that is 20 rewrites of the corpus for zero information. The anti-join
+    * still READS all prior deltas per level (inherent: a web digraph can
+    * rediscover any earlier page), but each is an already-materialized
+    * in-memory RDD scan, and the union plan is flat (one LogicalRDD child
+    * per level, not a lineage chain). */
   def bfs(links: DataFrame, seeds: Seq[String], maxDepth: Int): DataFrame = {
     val spark = links.sparkSession
     import spark.implicits._
+    bfsFrom(links, seeds.toDF("url"), maxDepth)
+  }
+
+  /** [[bfs]] with a DISTRIBUTED seed set (one `url` column) — the shape a
+    * sitemap-seeded crawl needs: a large site's sitemap tree can carry
+    * millions of seed urls, which must never round-trip through a driver
+    * Seq. */
+  def bfsFrom(links: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     // materialize the edge table once: every level joins against it, and
     // without this an expensive upstream plan (scans, aggregates, unions)
     // would re-execute per level
     val edges = links.select(col("src"), col("dst")).localCheckpoint(true)
-    var visited = seeds.toDF("url").distinct()
+    val level0 = seeds.select(col("url")).distinct()
       .select(col("url"), lit(0).as("depth"))
       .localCheckpoint(true)
-    var frontier = visited
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    var frontier = level0
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
+      val visitedUrls = levels.map(_.select("url")).reduce(_ unionByName _)
       val next = edges.join(frontier.select(col("url").as("src")), "src")
         .select(col("dst").as("url"))
         .distinct()
-        .join(visited.select("url"), Seq("url"), "left_anti")
+        .join(visitedUrls, Seq("url"), "left_anti")
         .select(col("url"), lit(depth).as("depth"))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+      levels += next
       frontier = next
     }
-    visited
+    levels.reduce(_ unionByName _)
   }
 
   /** The `max_pages` cut over a bfs result: keep the first `maxPages` by
     * (depth, url) — top-k (TakeOrderedAndProject), never a global window. */
   def capPages(bfsOut: DataFrame, maxPages: Int): DataFrame =
     bfsOut.orderBy(col("depth"), col("url")).limit(maxPages)
+
+  /** `_fetch_sitemap` recursion (crawler.py:62-81): starting from the
+    * root sitemap url, sitemap-INDEX entries recurse into their child
+    * sitemaps and url entries accumulate as crawl seeds — over a
+    * pre-fetched `sitemaps(url, xml)` table (north rule: the input table
+    * replaces the network fetch). The recursion is a driver loop joining
+    * the current sitemap frontier against the table (sitemap COUNT is
+    * tiny — the spec caps a sitemap at 50k urls, so even 10^9 pages is
+    * ~20k sitemap files), while the url entries explode distributed via
+    * [[graft.extract.Sitemap.parse]] — a single sitemap's locs never
+    * funnel through the driver. An unknown child sitemap url (absent from
+    * the table) contributes nothing, like the reference's swallowed fetch
+    * failure (crawler.py:78-80); index cycles are cut by a seen anti-join
+    * (the reference would loop — fetch depth caps at `maxIndexDepth`).
+    * Returns the distinct seed urls (one `url` column), ready for
+    * [[bfsFrom]] after the caller adds the root page
+    * (crawler.py:151-162: sitemap seeds first, root always included). */
+  def sitemapSeeds(sitemaps: DataFrame, rootSitemap: String,
+      maxIndexDepth: Int = 5): DataFrame = {
+    val spark = sitemaps.sparkSession
+    import spark.implicits._
+    val parseLocs = udf((xml: String) =>
+      if (xml == null) Seq.empty[(String, String)]
+      else graft.extract.Sitemap.parse(xml).map(e => (e.kind, e.loc)))
+    val sm = sitemaps.select(col("url"), col("xml")).localCheckpoint(true)
+    var frontier = Seq(rootSitemap).toDF("sm_url").localCheckpoint(true)
+    val seenLevels = scala.collection.mutable.ArrayBuffer(frontier)
+    var seeds: Option[DataFrame] = None
+    var d = 0
+    while (d < maxIndexDepth && !frontier.isEmpty) {
+      d += 1
+      val entries = sm.join(frontier, sm("url") === frontier("sm_url"))
+        .select(explode(parseLocs(col("xml"))).as("e"))
+        .select(col("e._1").as("kind"), col("e._2").as("loc"))
+        .localCheckpoint(true)
+      val pageUrls = entries.filter(col("kind") === "url")
+        .select(col("loc").as("url"))
+      seeds = Some(seeds.map(_.unionByName(pageUrls)).getOrElse(pageUrls))
+      val next = entries.filter(col("kind") === "sitemap")
+        .select(col("loc").as("sm_url"))
+        .distinct()
+        .join(seenLevels.reduce(_ unionByName _), Seq("sm_url"), "left_anti")
+        .localCheckpoint(true)
+      seenLevels += next
+      frontier = next
+    }
+    seeds.map(_.distinct()).getOrElse(Seq.empty[String].toDF("url"))
+  }
 }

@@ -239,6 +239,71 @@ object Queries {
       )
       SELECT doc_id, kind, loc FROM e ORDER BY doc_id, loc"""))
 
+  /** S1+S2 composed end-to-end — the reference's full crawl seeding seam
+    * (crawler.py:62-81 sitemap recursion feeding crawler.py:151-162 BFS):
+    * a sitemap INDEX resolves through [[graft.job.Crawl.sitemapSeeds]]
+    * into its two child urlsets' page urls, the root page is always
+    * included, and [[graft.job.Crawl.bfsFrom]] walks the link graph from
+    * that distributed seed set under the `max_pages` cap. The oracle
+    * re-derives the same seeds set-theoretically and replays the BFS as
+    * a RECURSIVE CTE — an independent implementation of both halves. */
+  private val xSitemapCrawl = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = rd(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("_n"))
+      val base = docs.crossJoin(broadcast(n))
+      def page(c: Column): Column = concat(lit("/p/"), c)
+      // sitemap tree: one index → two child urlsets over disjoint slices
+      def urlset(mod: Int): DataFrame = docs
+        .filter(pmod(col("doc_id"), lit(10)) === mod)
+        .select(concat(lit("<url><loc>http://site/p/"), col("doc_id"),
+          lit("</loc></url>")).as("u"))
+        .agg(concat_ws("", sort_array(collect_list(col("u")))).as("body"))
+        .select(lit(s"http://site/sm-$mod.xml").as("url"),
+          concat(lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            col("body"), lit("</urlset>")).as("xml"))
+      val index = Seq(("http://site/sitemap.xml",
+        "<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<sitemap><loc>http://site/sm-1.xml</loc></sitemap>" +
+          "<sitemap><loc>http://site/sm-2.xml</loc></sitemap></sitemapindex>"))
+        .toDF("url", "xml")
+      val sitemaps = index.unionByName(urlset(1)).unionByName(urlset(2))
+      val seeds = graft.job.Crawl
+        .sitemapSeeds(sitemaps, "http://site/sitemap.xml")
+        .select(regexp_replace(col("url"), "^http://site", "").as("url"))
+        .unionByName(Seq("/").toDF("url")) // root always enters the queue
+      val edges = base.select(page(col("doc_id")).as("src"),
+          page(pmod(col("doc_id") * 2 + 1, col("_n"))).as("dst"))
+        .unionByName(base.select(page(col("doc_id")).as("src"),
+          page(pmod(col("doc_id") * 3 + 2, col("_n"))).as("dst")))
+        .unionByName(Seq(("/", "/p/0")).toDF("src", "dst"))
+      graft.job.Crawl.capPages(
+        graft.job.Crawl.bfsFrom(edges, seeds, maxDepth = 4), maxPages = 200)
+    },
+    Some("""WITH RECURSIVE seeds AS (
+        SELECT DISTINCT '/p/' || doc_id AS url FROM documents
+        WHERE doc_id % 10 IN (1, 2)
+        UNION SELECT '/'
+      ), e AS (
+        SELECT '/p/' || doc_id AS src,
+               '/p/' || ((doc_id*2+1) % (SELECT count(*) FROM documents)) AS dst
+        FROM documents
+        UNION ALL
+        SELECT '/p/' || doc_id,
+               '/p/' || ((doc_id*3+2) % (SELECT count(*) FROM documents))
+        FROM documents
+        UNION ALL SELECT '/', '/p/0'
+      ), bfs(url, depth) AS (
+        SELECT url, 0 FROM seeds
+        UNION
+        SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.url
+        WHERE b.depth < 4
+      ), r AS (
+        SELECT url, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY url
+      )
+      SELECT url, depth FROM r ORDER BY depth, url LIMIT 200"""))
+
   /** The reference's robots fixture for S4 (crawler.py:101-127 gates with
     * urllib.robotparser + agent "OpenFeeder-Sidecar"). */
   private val robotsFixture: String =
@@ -1990,6 +2055,7 @@ object Queries {
     "s11_json_envelope" -> s11JsonEnvelope,
     "s1_crawl_bfs" -> s1CrawlBfs,
     "s2_sitemap_parse" -> s2SitemapParse,
+    "x_sitemap_crawl" -> xSitemapCrawl,
     "s4_robots_gate" -> s4RobotsGate,
     "p6_url_sanitize" -> p6UrlSanitize,
     "j7_collect_variants" -> j7CollectVariants,

@@ -147,6 +147,44 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(out2 == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
   }
 
+  test("crawl BFS materializes per-level deltas, not the whole visited set per level") {
+    import spark.implicits._
+    // depth-20 chain: n0 -> n1 -> ... -> n20
+    val chain = (0 until 20).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")
+    val out = graft.job.Crawl.bfs(chain, Seq("n00"), maxDepth = 25)
+    val got = out.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == (0 to 20).map(i => f"n$i%02d" -> i).toMap)
+    // the result is the union of the 21 checkpointed level deltas — one
+    // ExistingRDD scan per level. A visited set re-checkpointed per level
+    // (the O(depth·V) storage-write shape this test guards against) would
+    // collapse the plan to a single ExistingRDD.
+    val scans = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("ExistingRDD"))
+    assert(scans >= 21, s"expected >=21 level-delta scans, got $scans")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("sitemapSeeds resolves index recursion, cuts cycles, skips missing children") {
+    import spark.implicits._
+    def idx(children: String*) =
+      "<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        children.map(c => s"<sitemap><loc>$c</loc></sitemap>").mkString + "</sitemapindex>"
+    def urlset(urls: String*) =
+      "<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        urls.map(u => s"<url><loc>$u</loc></url>").mkString + "</urlset>"
+    val sitemaps = Seq(
+      // root: one child index + one urlset + one url the table lacks
+      // (fetch-failure analog) + a cycle back to itself
+      ("http://s/sitemap.xml", idx("http://s/child.xml", "http://s/pages.xml",
+        "http://s/missing.xml", "http://s/sitemap.xml")),
+      ("http://s/child.xml", urlset("http://s/a", "http://s/b")),
+      ("http://s/pages.xml", urlset("http://s/b", "http://s/c"))
+    ).toDF("url", "xml")
+    val seeds = graft.job.Crawl.sitemapSeeds(sitemaps, "http://s/sitemap.xml")
+      .collect().map(_.getString(0)).toSet
+    assert(seeds == Set("http://s/a", "http://s/b", "http://s/c"))
+  }
+
   test("salted repartition preserves rows and spreads a mega-conversation") {
     import spark.implicits._
     val turns = Transcripts.generate(spark, 5, megaTurns = 2000, nMega = 1)

@@ -50,12 +50,14 @@ object Bench {
     Transcripts.expectedCount(nConvs, megaTurns)
   }
 
-  /** Best-of-k hot throughput in turns/sec (JIT warmed on ~10% of the
+  /** Per-rep hot throughputs in turns/sec (JIT warmed on ~10% of the
     * data). `fraction` shrinks the measured corpus at low core counts —
     * throughput is size-independent once hot, and shorter runs allow more
-    * repetitions against this host's noisy-neighbor variance. */
+    * repetitions against this host's noisy-neighbor variance. Returns ALL
+    * rep values so the artifact can carry best/median/spread instead of a
+    * single unexplainable number. */
   private def extractionThroughput(cores: Int, inputPath: String,
-      reps: Int, fraction: Double): Double = {
+      reps: Int, fraction: Double): Seq[Double] = {
     val spark = session(cores)
     import spark.implicits._
     val all = spark.read.parquet(inputPath).as[graft.model.Turn]
@@ -72,7 +74,12 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    n / times.min
+    times.map(n / _)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,7 +105,7 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq.distinct.sorted
     // two sweeps (forward then reverse), min per level: host load spikes
     // last minutes here, so a single sweep can punish one level unfairly
-    def sweep(ls: Seq[Int]): Map[Int, Double] = ls.map { c =>
+    def sweep(ls: Seq[Int]): Map[Int, Seq[Double]] = ls.map { c =>
       val fraction = if (c <= 2) 0.4 else 1.0
       // high-core reps are cheap (~5 s each); more of them ride out the
       // host's multi-minute load spikes
@@ -107,7 +114,16 @@ object Bench {
     }.toMap
     val s1 = sweep(levels)
     val s2 = sweep(levels.reverse)
-    val thr: Map[Int, Double] = levels.map(c => c -> math.max(s1(c), s2(c))).toMap
+    // per level: all reps across both sweeps; best for the headline (the
+    // sustained capability — dips are host noise), median + relative
+    // spread in the artifact so a reader can tell noise from code
+    val repsByLevel: Map[Int, Seq[Double]] =
+      levels.map(c => c -> (s1(c) ++ s2(c))).toMap
+    val thr: Map[Int, Double] = repsByLevel.map { case (c, v) => c -> v.max }
+    val med: Map[Int, Double] = repsByLevel.map { case (c, v) => c -> median(v) }
+    val spreadPct: Map[Int, Double] = repsByLevel.map { case (c, v) =>
+      c -> ((v.max - v.min) / median(v) * 100.0)
+    }
     val secs: Map[Int, Double] = thr.map { case (c, t) => c -> total / t }
     // 4× pairs present in the measured levels
     val pairs = levels.flatMap(n => if (levels.contains(n * 4)) Some((n, n * 4)) else None)
@@ -122,18 +138,25 @@ object Bench {
       .mkString("{", ",", "}")
 
     // query surface timings at local[cpus]; a crashing query must surface
-    // as "err", never masquerade as a fast time
+    // as "err", never masquerade as a fast time. TWO reps per query: the
+    // reported time is the min (rep 1 carries 2-6 s of JIT/codegen on
+    // cold expression classes), and the rep disagreement is recorded so
+    // round-over-round per-query deltas can be read against the measured
+    // noise floor instead of guessed at.
     val spark = session(cpus)
-    val results: Seq[(String, Either[String, Double])] =
+    val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // sketch queries time their xxhash64 PRODUCTION twins (same plan
         // shape; the registry's md5-portable modes exist only so DuckDB
         // can oracle-check them bit-for-bit in Verify)
         val timedFn = graft.query.Queries.benchProductionOverrides.getOrElse(name, fn)
-        val t0 = System.nanoTime()
         try {
-          timedFn(spark, sfDir).count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            timedFn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> Right((times.min, times.max))
         } catch {
           case e: Throwable =>
             System.err.println(s"BENCH QUERY FAILED: $name: $e")
@@ -148,20 +171,34 @@ object Bench {
     val pipeSec = (System.nanoTime() - tPipe0) / 1e9
     spark.stop()
 
-    val totalSec = results.collect { case (_, Right(v)) => v }.sum
+    val totalSec = results.collect { case (_, Right((mn, _))) => mn }.sum
     def f(d: Double) = f"$d%.3f"
     val qs = results.map {
-      case (k, Right(v)) => s""""$k":${f(v)}"""
+      case (k, Right((mn, _))) => s""""$k":${f(mn)}"""
       case (k, Left(e)) => s""""$k":"$e""""
     }.mkString("{", ",", "}")
+    // rep disagreement per query (second rep vs min, %): the per-query
+    // noise floor round-over-round deltas must clear before they mean
+    // anything
+    val qSpreads = results.collect {
+      case (k, Right((mn, mx))) if mn > 0 => k -> ((mx - mn) / mn * 100.0) }
+    val qSpreadMedian = if (qSpreads.nonEmpty) median(qSpreads.map(_._2)) else 0.0
+    val scalingDetail = levels.map { c =>
+      s""""$c":{"best":${f(thr(c))},"median":${f(med(c))},""" +
+      s""""spread_pct":${f(spreadPct(c))},"reps":${repsByLevel(c).size}}"""
+    }.mkString("{", ",", "}")
+    val medianEff = pairs.map(p =>
+      s""""${p._1}x4":${f((med(p._2) / med(p._1)) / 4.0)}""").mkString("{", ",", "}")
     val peakThr = thr(levels.max)
     val json =
       s"""{"metric":"turns_per_sec_extracted","value":${f(peakThr)},"unit":"turns/sec",""" +
       s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${f(totalSec)},""" +
+      s""""query_rep_spread_median_pct":${f(qSpreadMedian)},""" +
       s""""scaling":{"cores_n":$nSmall,"cores_4n":$n4,"turns":$total,""" +
       s""""sec_n":${f(tN)},"sec_4n":${f(t4N)},"turns_per_sec_n":${f(thrN)},""" +
       s""""turns_per_sec_4n":${f(thr4N)},"efficiency":${f(efficiency)},""" +
-      s""""all_pairs":$allPairs},""" +
+      s""""efficiency_median":$medianEff,"all_pairs":$allPairs,""" +
+      s""""levels":$scalingDetail},""" +
       s""""pipeline_with_ordering_sec":${f(pipeSec)}}"""
     println(json)
 
@@ -173,16 +210,47 @@ object Bench {
          |one $megaTurns-turn mega-conversation; deterministic payload mix of
          |the four reference fixtures + 6 parameterized templates),
          |materialized to parquet so the measured job is scan → typed
-         |mapPartitions extraction. Best of 4 hot runs per level (2 reps ×
-         |2 sweeps, forward then reverse — host noise is ±30% per level).
+         |mapPartitions extraction. Per level: 2 sweeps (forward, then
+         |reverse, so a host load spike cannot punish one level twice) ×
+         |2-4 hot reps; headline = best rep, median + spread alongside.
+         |
+         || level | best turns/sec | median | rep spread % | reps |
+         ||---|---|---|---|---|
+         |${levels.map(c => s"| local[$c] | ${f(thr(c))} | ${f(med(c))} | ${f(spreadPct(c))} | ${repsByLevel(c).size} |").mkString("\n         |")}
          |
          || metric | value |
          ||---|---|
-         |${levels.map(c => s"| turns/sec @ local[$c] | ${f(thr(c))} |").mkString("\n         |")}
-         || headline pair: local[$nSmall] → local[$n4] efficiency | ${f(efficiency)} (target ≥ 0.8) |
-         || all 4× pairs | ${pairs.map(p => s"${p._1}→${p._2}: ${f(eff(p))}").mkString("; ")} |
+         || headline pair: local[$nSmall] → local[$n4] efficiency (best-of-reps) | ${f(efficiency)} (target ≥ 0.8) |
+         || same pair, median-of-reps efficiency | ${f((med(n4) / med(nSmall)) / 4.0)} |
+         || all 4× pairs (best) | ${pairs.map(p => s"${p._1}→${p._2}: ${f(eff(p))}").mkString("; ")} |
          || full pipeline (extract + ordering window) @ local[$cpus] | ${f(pipeSec)} s |
-         || query surface total @ local[$cpus], $sfDir | ${f(totalSec)} s |
+         || query surface total @ local[$cpus], $sfDir (min of 2 reps each) | ${f(totalSec)} s |
+         || per-query rep disagreement, median | ${f(qSpreadMedian)} % |
+         |
+         |Reading round-over-round deltas: every number above now carries
+         |its own noise estimate — a per-query change smaller than that
+         |query's rep disagreement, or a headline change smaller than the
+         |level's rep spread, is host noise, not code. Rep spread is
+         |(max−min)/median across both sweeps at that level.
+         |
+         |Methodology note vs rounds ≤3: per-query times are now the MIN
+         |of 2 reps (r03 timed a single run, which carried 2-6 s of JIT on
+         |cold expression classes), so the r03 → r04 drop in the query
+         |surface total is largely methodology, not a real 2× speedup —
+         |compare per-query values only against the recorded rep
+         |disagreement.
+         |
+         |Queries whose COST BASIS changed this round (r03 → r04) — deltas
+         |against r03 are only meaningful outside this list:
+         |`a6_rate_window` (replaced: now the exact per-endpoint admission
+         |simulation, not a minute-bucket count), `a7`/`a8` (emission rules
+         |extended — handler-side api.request double-tracking adds ~1 row
+         |per feed request), `s11_json_envelope` (adds the meta cache
+         |block), `s1_crawl_bfs` (delta-only visited materialization —
+         |expected mildly faster), and the new queries
+         |`c1_conditional_cache`, `x_sync_page`, `x_sitemap_crawl`. The
+         |pair/simhash operators moved their result ordering to the query
+         |layer — identical end-to-end plan, no cost change expected.
          |
          |Hash modes: `x_minhash_pairs` and `x_simhash` are timed in their
          |xxhash64 PRODUCTION mode (what a user runs); correctness for the

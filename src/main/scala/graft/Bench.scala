@@ -138,11 +138,12 @@ object Bench {
       .mkString("{", ",", "}")
 
     // query surface timings at local[cpus]; a crashing query must surface
-    // as "err", never masquerade as a fast time. TWO reps per query: the
-    // reported time is the min (rep 1 carries 2-6 s of JIT/codegen on
-    // cold expression classes), and the rep disagreement is recorded so
-    // round-over-round per-query deltas can be read against the measured
-    // noise floor instead of guessed at.
+    // as "err", never masquerade as a fast time. THREE reps per query:
+    // rep 1 carries 2-6 s of one-time JIT/codegen on cold expression
+    // classes and is DISCARDED from the noise estimate; the reported time
+    // is the min of all reps, and the recorded disagreement is hot-vs-hot
+    // (reps 2 vs 3) — a real noise floor, not the one-time JIT gap — so
+    // round-over-round per-query deltas can be read against it honestly.
     val spark = session(cpus)
     val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -151,12 +152,14 @@ object Bench {
         // can oracle-check them bit-for-bit in Verify)
         val timedFn = graft.query.Queries.benchProductionOverrides.getOrElse(name, fn)
         try {
-          val times = (1 to 2).map { _ =>
+          val times = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
             timedFn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }
-          name -> Right((times.min, times.max))
+          val hot = times.drop(1)
+          val hotSpreadPct = (hot.max - hot.min) / hot.min * 100.0
+          name -> Right((times.min, hotSpreadPct))
         } catch {
           case e: Throwable =>
             System.err.println(s"BENCH QUERY FAILED: $name: $e")
@@ -177,11 +180,9 @@ object Bench {
       case (k, Right((mn, _))) => s""""$k":${f(mn)}"""
       case (k, Left(e)) => s""""$k":"$e""""
     }.mkString("{", ",", "}")
-    // rep disagreement per query (second rep vs min, %): the per-query
-    // noise floor round-over-round deltas must clear before they mean
-    // anything
-    val qSpreads = results.collect {
-      case (k, Right((mn, mx))) if mn > 0 => k -> ((mx - mn) / mn * 100.0) }
+    // hot-rep disagreement per query (%): the per-query noise floor
+    // round-over-round deltas must clear before they mean anything
+    val qSpreads = results.collect { case (k, Right((_, sp))) => k -> sp }
     val qSpreadMedian = if (qSpreads.nonEmpty) median(qSpreads.map(_._2)) else 0.0
     val scalingDetail = levels.map { c =>
       s""""$c":{"best":${f(thr(c))},"median":${f(med(c))},""" +
@@ -224,8 +225,8 @@ object Bench {
          || same pair, median-of-reps efficiency | ${f((med(n4) / med(nSmall)) / 4.0)} |
          || all 4× pairs (best) | ${pairs.map(p => s"${p._1}→${p._2}: ${f(eff(p))}").mkString("; ")} |
          || full pipeline (extract + ordering window) @ local[$cpus] | ${f(pipeSec)} s |
-         || query surface total @ local[$cpus], $sfDir (min of 2 reps each) | ${f(totalSec)} s |
-         || per-query rep disagreement, median | ${f(qSpreadMedian)} % |
+         || query surface total @ local[$cpus], $sfDir (min of 3 reps each) | ${f(totalSec)} s |
+         || per-query hot-rep disagreement (reps 2 vs 3), median | ${f(qSpreadMedian)} % |
          |
          |Reading round-over-round deltas: every number above now carries
          |its own noise estimate — a per-query change smaller than that
@@ -234,11 +235,11 @@ object Bench {
          |(max−min)/median across both sweeps at that level.
          |
          |Methodology note vs rounds ≤3: per-query times are now the MIN
-         |of 2 reps (r03 timed a single run, which carried 2-6 s of JIT on
+         |of 3 reps (r03 timed a single run, which carried 2-6 s of JIT on
          |cold expression classes), so the r03 → r04 drop in the query
          |surface total is largely methodology, not a real 2× speedup —
-         |compare per-query values only against the recorded rep
-         |disagreement.
+         |compare per-query values only against the recorded hot-rep
+         |disagreement (which excludes the one-time JIT rep by design).
          |
          |Queries whose COST BASIS changed this round (r03 → r04) — deltas
          |against r03 are only meaningful outside this list:

@@ -51,7 +51,11 @@ object Functions {
 
     // of_etag(body) — the express adapter's makeEtag (etag.js:11-13):
     // quoted 16-hex md5 prefix of the serialized body. Composed from
-    // built-in catalyst expressions, so it stays inside codegen.
+    // built-in catalyst expressions, so it stays inside codegen. This is
+    // the expression-level twin of graft.query.Caching.etag (the Column
+    // API can't be unwrapped here — ExpressionUtils is private[sql] in
+    // Spark 4); FunctionsSpec pins the two encodings equal on ASCII and
+    // non-ASCII bodies so they cannot drift silently.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "of_etag",
       { (exprs: Seq[Expression]) =>

@@ -1739,6 +1739,64 @@ object Queries {
           '%a, %d %b %Y %H:%M:%S GMT') AS last_modified
       FROM r ORDER BY doc_id"""))
 
+  /** The adapter's API-key auth gate —
+    * `/root/reference/adapters/express/src/index.js:101-130`, pinned by
+    * `testing/test-security.js:295-316`: the discovery document is ALWAYS
+    * public; `/openfeeder` with an apiKey configured requires the
+    * Authorization header to equal `Bearer <key>` exactly (the reference
+    * compares with timingSafeEqual — semantically exact string equality;
+    * the timing property is a serving-side concern, meaningless in a
+    * batch classification) and answers 401 with the UNAUTHORIZED envelope
+    * otherwise; non-openfeeder paths fall through to the host app
+    * (status null here). The header synthesis cycles valid / wrong-key /
+    * absent so both verdicts and the passthrough appear. */
+  private val xAuthGate = Q(
+    (s, dir) => {
+      val apiKey = "sk-test-key"
+      val path = when(pmod(col("doc_id"), lit(7)) === 0, "/.well-known/openfeeder.json")
+        .when(pmod(col("doc_id"), lit(7)) === 1, concat(lit("/blog/post-"), col("doc_id")))
+        .otherwise(lit("/openfeeder"))
+      val auth = when(pmod(col("doc_id"), lit(3)) === 0, s"Bearer $apiKey")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "Bearer wrong-key")
+        .otherwise(lit(null).cast("string"))
+      val errBody = to_json(struct(
+        lit("openfeeder/1.0").as("schema"),
+        struct(lit("UNAUTHORIZED").as("code"),
+          lit("Valid API key required. Include Authorization: Bearer <key> header.")
+            .as("message")).as("error")))
+      rd(s, dir, "documents")
+        .select(col("doc_id"), path.as("path"), auth.as("auth_header"))
+        .withColumn("status_code",
+          when(col("path") === "/.well-known/openfeeder.json", 200)
+            .when(col("path") === "/openfeeder",
+              when(col("auth_header") === s"Bearer $apiKey", 200).otherwise(401))
+            .otherwise(lit(null).cast("int")))
+        .withColumn("body", when(col("status_code") === 401, errBody))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, path, auth_header,
+        CASE WHEN path = '/.well-known/openfeeder.json' THEN 200
+             WHEN path = '/openfeeder' THEN
+               CASE WHEN auth_header = 'Bearer sk-test-key' THEN 200 ELSE 401 END
+             END AS status_code,
+        CASE WHEN (CASE WHEN path = '/.well-known/openfeeder.json' THEN 200
+             WHEN path = '/openfeeder' THEN
+               CASE WHEN auth_header = 'Bearer sk-test-key' THEN 200 ELSE 401 END
+             END) = 401 THEN
+          to_json(struct_pack(schema := 'openfeeder/1.0',
+            error := struct_pack(code := 'UNAUTHORIZED',
+              message := 'Valid API key required. Include Authorization: Bearer <key> header.')))
+        END AS body
+      FROM (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN '/.well-known/openfeeder.json'
+               WHEN doc_id % 7 = 1 THEN '/blog/post-' || doc_id
+               ELSE '/openfeeder' END AS path,
+          CASE WHEN doc_id % 3 = 0 THEN 'Bearer sk-test-key'
+               WHEN doc_id % 3 = 1 THEN 'Bearer wrong-key' END AS auth_header
+        FROM documents)
+      ORDER BY doc_id"""))
+
   /** Gateway mode routing + context detection (gateway.js:18-75,319-346),
     * every branch oracle-checked. */
   private val g1GatewayRoute = Q(
@@ -2044,6 +2102,7 @@ object Queries {
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,
+    "x_auth_gate" -> xAuthGate,
     "t2_sync_window" -> t2SyncWindow,
     "j5_sync_buckets" -> j5SyncBuckets,
     "t3_sync_token" -> t3SyncToken,

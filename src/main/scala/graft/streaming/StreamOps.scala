@@ -67,21 +67,42 @@ object StreamOps {
     * longs, the same bound the reference's cleanup keeps. Within a
     * micro-batch requests sort by (sec, event_id); exactness across
     * batches needs bucket-monotonic arrival (the ingestion contract, as
-    * for turn positions). */
-  def rateLimitDecisions(reqs: Dataset[graft.query.RateLimits.Req])
+    * for turn positions).
+    *
+    * State is BOUNDED in both dimensions: per-bucket size (≤ limit
+    * timestamps) AND bucket count — a bucket idle past `ttlMs` of
+    * processing time is evicted, mirroring the reference's stale-bucket
+    * sweep (rate_limiter.py:133-144, `is_stale` after the 300 s cleanup
+    * interval). Eviction is EXACT, not lossy: a bucket whose 60 s window
+    * has drained is indistinguishable from fresh state, and `ttlMs` ≥ the
+    * window guarantees the window has drained in event time whenever
+    * arrival keeps rough pace with processing. Without it, web traffic's
+    * unbounded client-IP cardinality grows the state store monotonically
+    * forever. `ttlMs = 0` uses NoTimeout (deterministic tests — with a
+    * positive TTL the engine runs timer batches, so tests must poll the
+    * sink instead of `processAllAvailable()`). */
+  def rateLimitDecisions(reqs: Dataset[graft.query.RateLimits.Req],
+      ttlMs: Long = 300000L)
       : Dataset[graft.query.RateLimits.Decision] = {
     import reqs.sparkSession.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     reqs.groupByKey(r => (r.ip, r.endpoint))
       .flatMapGroupsWithState[Seq[Long], graft.query.RateLimits.Decision](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_: (Long, String), batch: Iterator[graft.query.RateLimits.Req],
             state: GroupState[Seq[Long]]) =>
-          val q = scala.collection.mutable.ArrayDeque.from(
-            state.getOption.getOrElse(Seq.empty))
-          val out = graft.query.RateLimits.decideBucket(
-            batch.toVector.sortBy(r => (r.sec, r.event_id)), q)
-          state.update(q.toSeq)
-          out.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val q = scala.collection.mutable.ArrayDeque.from(
+              state.getOption.getOrElse(Seq.empty))
+            val out = graft.query.RateLimits.decideBucket(
+              batch.toVector.sortBy(r => (r.sec, r.event_id)), q)
+            state.update(q.toSeq)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
       }
   }
 

@@ -105,9 +105,9 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("of_etag matches makeEtag: quoted 16-hex md5 prefix; 304 only on exact match") {
     Functions.registerAll(spark)
-    // node -e 'crypto.createHash("md5").update("{\"a\":1}").digest("hex")'
-    // → 608444806b8a4f9e2c6e64e8b8b69c1b... (the first 16 chars quoted is
-    // the etag.js:11-13 contract); computed independently via JDK below
+    // md5('{"a":1}') = bb6cb5c68df4652941caf652a366f2d8 (python hashlib);
+    // the quoted first 16 chars is the etag.js:11-13 contract — computed
+    // independently via the JDK below so the assertion is self-contained
     val body = """{"a":1}"""
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -115,8 +115,22 @@ class FunctionsSpec extends AnyFunSuite {
     val r = spark.sql(s"""SELECT of_etag('$body') AS e""").collect().head
     assert(r.getString(0) == expected)
     assert(r.getString(0).length == 18 && r.getString(0).startsWith("\""))
+    // non-ASCII body: the string→binary cast must hash UTF-8 bytes, like
+    // node's Buffer default in crypto.update — and the SQL function and
+    // Column-API encodings of the contract must agree exactly (they are
+    // separate expression compositions; this pins them together)
+    val uni = "café ✓"
+    val mdU = java.security.MessageDigest.getInstance("MD5")
+      .digest(uni.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rU = spark.sql(s"SELECT of_etag('$uni') AS e").collect().head.getString(0)
+    assert(rU == "\"" + mdU.take(16) + "\"")
     import org.apache.spark.sql.functions.{col, lit}
     val s = spark; import s.implicits._
+    val viaColumn = Seq(body, uni).toDF("b")
+      .select(graft.query.Caching.etag(col("b"))).collect().map(_.getString(0)).toSeq
+    val viaSql = Seq(body, uni).toDF("b")
+      .selectExpr("of_etag(b)").collect().map(_.getString(0)).toSeq
+    assert(viaColumn == viaSql, "Caching.etag and of_etag must encode the same contract")
     val df = Seq((body, expected), (body, "\"wrong\""), (body, null))
       .toDF("body", "inm")
     val statuses = df.select(graft.query.Caching.conditionalStatus(

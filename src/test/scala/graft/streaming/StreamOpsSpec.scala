@@ -80,7 +80,9 @@ class StreamOpsSpec extends AnyFunSuite {
     import graft.query.RateLimits.{Decision, Req}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Req]
-    val q = StreamOps.rateLimitDecisions(source.toDS())
+    // ttlMs = 0 (NoTimeout): with a positive TTL the engine keeps running
+    // timer batches and processAllAvailable() never returns
+    val q = StreamOps.rateLimitDecisions(source.toDS(), ttlMs = 0L)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("rldec")
       .start()

@@ -82,6 +82,63 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Connected components over a near-dup pair set — the step that turns
+    * pairwise candidates into DEDUP CLUSTERS so a curation pipeline can
+    * keep one canonical per cluster (pairs alone under-delete: a≈b, b≈c
+    * must collapse to ONE survivor even when a≉c directly). Min-label
+    * propagation, level-synchronous like [[graft.job.Crawl.bfs]]: each
+    * iteration joins the (symmetrized) edges against current labels,
+    * takes the min label per node, and localCheckpoints so the iterative
+    * lineage stays flat. Iteration count = cluster diameter — near-dup
+    * components are shallow (replica fans, template families), so this
+    * converges in a handful of rounds; the per-round shuffle carries only
+    * (node, label) longs. Convergence is detected distributed (one
+    * `limit(1).count()` on the changed set — no label collect).
+    * Input: (doc_a, doc_b) pairs (any extra columns ignored). Output:
+    * (doc_id, cluster_id) for every doc that appears in a pair, with
+    * cluster_id = min doc_id of its component. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      val next = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("a")
+        .join(labels.as("b"), col("a.doc_id") === col("b.doc_id"))
+        .filter(col("a.cluster_id") =!= col("b.cluster_id"))
+        .limit(1)
+      converged = changed.isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** [[connectedComponents]] over [[minHashPairs]], labeling EVERY
+    * document (singletons keep their own id) — the canonical-selection
+    * input for near-dup curation: keep `doc_id == cluster_id`. */
+  def neardupClusters(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, minEstJaccardX1000: Int = 500,
+      portable: Boolean = false, maxDfPct: Option[Int] = None): DataFrame = {
+    val cc = connectedComponents(
+      minHashPairs(docs, n, k, bands, minEstJaccardX1000,
+        portable = portable, maxDfPct = maxDfPct))
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold among LSH
     * bucket collisions (scale path: no O(n²) cross join; the signature
     * bucket join prunes candidates). */

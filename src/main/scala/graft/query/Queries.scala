@@ -1143,13 +1143,11 @@ object Queries {
       FROM v ORDER BY doc_id"""
     })
 
-  /** Portable minhash (md5-based permutation hashes + md5 band keys) for
-    * the oracle; the xxhash64 production path is exercised in OpsSpec. */
-  private val xMinHashPairs = Q(
-    (s, dir) => Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16,
-      bands = 4, minEstJaccardX1000 = 250, portable = true, maxDfPct = Some(5))
-      .orderBy("doc_a", "doc_b"),
-    Some {
+  /** The portable-minhash pair SELECT (no final ORDER BY) — shared by the
+    * x_minhash_pairs oracle and the x_neardup_clusters oracle, which
+    * re-derives the same pair set before its recursive label
+    * propagation. */
+  private def minHashPairsSelectSql: String = {
       val k = 16; val bands = 4; val r = k / bands
       val mins = (0 until k).map(j =>
         s"min(('0x' || substr(md5('$j:' || sh), 1, 15))::BIGINT) AS mh$j").mkString(",\n          ")
@@ -1185,9 +1183,43 @@ object Queries {
       )
       SELECT doc_a, doc_b, ($agree) * 1000 // $k AS est_jaccard_x1000
       FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
-      WHERE ($agree) * 1000 // $k >= 250
-      ORDER BY doc_a, doc_b"""
-    })
+      WHERE ($agree) * 1000 // $k >= 250"""
+  }
+
+  /** Portable minhash (md5-based permutation hashes + md5 band keys) for
+    * the oracle; the xxhash64 production path is exercised in OpsSpec. */
+  private val xMinHashPairs = Q(
+    (s, dir) => Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16,
+      bands = 4, minEstJaccardX1000 = 250, portable = true, maxDfPct = Some(5))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"$minHashPairsSelectSql\n      ORDER BY doc_a, doc_b"))
+
+  /** Near-dup CLUSTERS — connected components over the minhash pair set,
+    * every document labeled with the min doc_id of its component
+    * (singletons label themselves). This is the step a curation pipeline
+    * needs between pairwise candidates and canonical selection: a≈b and
+    * b≈c must collapse to one survivor even when a and c never pair
+    * directly. Spark side: level-synchronous min-label propagation
+    * ([[Dedup.connectedComponents]], BFS-shaped, per-round checkpoint,
+    * (node,label)-only shuffle). Oracle: the SAME pair set re-derived in
+    * DuckDB, then a RECURSIVE label-reachability CTE — an independent CC
+    * algorithm (reachability closure vs iterative relaxation). */
+  private val xNeardupClusters = Q(
+    (s, dir) => Dedup.neardupClusters(rd(s, dir, "documents"), n = 3,
+      k = 16, bands = 4, minEstJaccardX1000 = 250, portable = true,
+      maxDfPct = Some(5))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE pairs AS ($minHashPairsSelectSql
+      ), e AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node
+      )
+      SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id"""))
 
   private val xEmbeddingTopK = Q(
     (s, dir) => {
@@ -2127,6 +2159,7 @@ object Queries {
     "x_ngram_jaccard" -> xNgramJaccard,
     "x_simhash" -> xSimHash,
     "x_minhash_pairs" -> xMinHashPairs,
+    "x_neardup_clusters" -> xNeardupClusters,
     "x_embedding_topk" -> xEmbeddingTopK,
     "x_search_end_to_end" -> xSearchEndToEnd,
     "x_embedding_lsh" -> xEmbeddingLsh,

@@ -241,6 +241,36 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ivf recall $recall") // random vectors: worst case
   }
 
+  test("connected components collapse transitive near-dup chains") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3 (1≈2, 2≈3, but 1 never pairs with 3 directly),
+    // separate pair 7-9, singleton edge-less docs absent from pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer path exercises multi-round propagation (diameter 5)
+    val chain = (0 until 6).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val cc2 = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2.values.toSet == Set(0L) && cc2.size == 7)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("neardupClusters labels every doc; canonical = min id per cluster") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docsOf(10L -> text, 20L -> text, 30L -> (text + " extra tail"),
+      40L -> "completely unrelated content about catalyst plans and shuffles")
+    val out = Dedup.neardupClusters(d, minEstJaccardX1000 = 400).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(10L, 20L, 30L, 40L), "every doc labeled")
+    assert(out(10L) == 10L && out(20L) == 10L, "identical docs share the min-id cluster")
+    assert(out(40L) == 40L, "singleton labels itself")
+    // curation selection: keep doc_id == cluster_id → one survivor per cluster
+    val survivors = out.collect { case (id, c) if id == c => id }.toSet
+    assert(survivors.contains(10L) && !survivors.contains(20L))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingNearDups(emb, dim = 64, thresholdX10000 = 3000,
       nPlanes = 6).collect()

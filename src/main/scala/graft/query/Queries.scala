@@ -1061,42 +1061,39 @@ object Queries {
     * Every stage is a pure DataFrame transform, so they compose into ONE
     * Catalyst plan (joins co-partition on doc_id); oracle-checked
     * end-to-end in DuckDB. */
-  private val xCurationPipeline = Q(
-    (s, dir) => {
-      val docs = rd(s, dir, "documents")
-      // quality + language-ID are per-row expressions: compute BOTH in ONE
-      // scan (joining separate qualityFeatures/langId frames would re-scan
-      // the corpus twice more); only the dedup canonical set needs an
-      // aggregation + semi join
-      def hits(ws: Seq[String]): Column =
-        ws.map(w => TextOps.occurrences(lower(col("text")), s" $w ")).reduce(_ + _)
-      val nWords = TextOps.wordCount(col("text"))
-      val meanLenX100 = (length(col("text")) * 100L / greatest(nWords, lit(1))).cast("long")
-      val isQuality = (nWords >= 5) && (meanLenX100 between (200L, 1200L))
-      val en = hits(Seq("the", "and", "of"))
-      val fr = hits(Seq("le", "la", "et", "les"))
-      val es = hits(Seq("el", "los", "que", "y"))
-      val de = hits(Seq("der", "die", "und", "das"))
-      val langPred = when(en >= fr && en >= es && en >= de, "en")
-        .when(fr >= es && fr >= de, "fr").when(es >= de, "es").otherwise("de")
-      val featured = docs.select(col("doc_id"), col("lang"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        isQuality.as("is_quality"), langPred.as("lang_pred"))
-      val canon = TextOps.exactDedup(docs).select(col("canonical_id").as("doc_id"))
-      featured.join(canon, Seq("doc_id"), "left_semi")
-        .filter(col("is_quality") && col("lang_pred") === col("lang"))
-        .select("doc_id", "n_tokens")
-        .orderBy("doc_id")
-    },
-    Some {
-      def occ(w: String) =
-        s"(length(lower(text)) - length(replace(lower(text), ' $w ', ''))) // ${w.length + 2}"
-      def hits(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
-      val en = hits(Seq("the", "and", "of"))
-      val fr = hits(Seq("le", "la", "et", "les"))
-      val es = hits(Seq("el", "los", "que", "y"))
-      val de = hits(Seq("der", "die", "und", "das"))
-      s"""WITH q AS (
+  /** The per-row feature frame (doc_id, lang, n_tokens, is_quality,
+    * lang_pred) shared by both curation capstones — quality + language-ID
+    * are pure expressions, so BOTH compute in ONE scan (joining separate
+    * qualityFeatures/langId frames would re-scan the corpus twice
+    * more). */
+  private def curationFeatured(docs: DataFrame): DataFrame = {
+    def hits(ws: Seq[String]): Column =
+      ws.map(w => TextOps.occurrences(lower(col("text")), s" $w ")).reduce(_ + _)
+    val nWords = TextOps.wordCount(col("text"))
+    val meanLenX100 = (length(col("text")) * 100L / greatest(nWords, lit(1))).cast("long")
+    val isQuality = (nWords >= 5) && (meanLenX100 between (200L, 1200L))
+    val en = hits(Seq("the", "and", "of"))
+    val fr = hits(Seq("le", "la", "et", "les"))
+    val es = hits(Seq("el", "los", "que", "y"))
+    val de = hits(Seq("der", "die", "und", "das"))
+    val langPred = when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr").when(es >= de, "es").otherwise("de")
+    docs.select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      isQuality.as("is_quality"), langPred.as("lang_pred"))
+  }
+
+  /** The matching DuckDB feature CTEs (`q`, `l`) — shared by both
+    * curation oracles. */
+  private def curationFeatureCtesSql: String = {
+    def occ(w: String) =
+      s"(length(lower(text)) - length(replace(lower(text), ' $w ', ''))) // ${w.length + 2}"
+    def hits(ws: Seq[String]) = ws.map(occ).mkString("(", " + ", ")")
+    val en = hits(Seq("the", "and", "of"))
+    val fr = hits(Seq("le", "la", "et", "les"))
+    val es = hits(Seq("el", "los", "que", "y"))
+    val de = hits(Seq("der", "die", "und", "das"))
+    s"""q AS (
         SELECT doc_id,
           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_tokens,
           (len(regexp_split_to_array(trim(text), '\\s+')) >= 5 AND
@@ -1109,7 +1106,20 @@ object Queries {
                WHEN $fr >= $es AND $fr >= $de THEN 'fr'
                WHEN $es >= $de THEN 'es' ELSE 'de' END AS lang_pred
         FROM documents
-      ), canon AS (
+      )"""
+  }
+
+  private val xCurationPipeline = Q(
+    (s, dir) => {
+      val docs = rd(s, dir, "documents")
+      // only the dedup canonical set needs an aggregation + semi join
+      val canon = TextOps.exactDedup(docs).select(col("canonical_id").as("doc_id"))
+      curationFeatured(docs).join(canon, Seq("doc_id"), "left_semi")
+        .filter(col("is_quality") && col("lang_pred") === col("lang"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $curationFeatureCtesSql, canon AS (
         SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
       )
@@ -1117,8 +1127,46 @@ object Queries {
       FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
       WHERE d.doc_id IN (SELECT doc_id FROM canon)
         AND q.is_quality AND l.lang_pred = d.lang
-      ORDER BY d.doc_id"""
-    })
+      ORDER BY d.doc_id"""))
+
+  /** Curation capstone v2 — NEAR-dup aware: quality gate ∧ language-ID
+    * agreement ∧ near-dup CLUSTER canonical survivors (the min-doc_id of
+    * each connected component of the minhash pair graph, so a≈b≈c chains
+    * collapse to one kept document even when the ends never pair
+    * directly). This closes the full pairs → clusters → selection loop
+    * end-to-end in one oracle-checked query; the DuckDB mirror re-derives
+    * the pair set and labels components by recursive reachability — an
+    * independent algorithm from the Spark side's iterative min-label
+    * relaxation. */
+  private val xCurationNeardup = Q(
+    (s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val canon = Dedup.neardupClusters(docs, n = 3, k = 16, bands = 4,
+        minEstJaccardX1000 = 250, portable = true, maxDfPct = Some(5))
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      curationFeatured(docs).join(canon, Seq("doc_id"), "left_semi")
+        .filter(col("is_quality") && col("lang_pred") === col("lang"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE pairs AS ($minHashPairsSelectSql
+      ), e AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node
+      ), cc AS (
+        SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+      ), $curationFeatureCtesSql
+      SELECT d.doc_id, q.n_tokens
+      FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+        JOIN cc ON cc.doc_id = d.doc_id
+      WHERE cc.cluster_id = d.doc_id
+        AND q.is_quality AND l.lang_pred = d.lang
+      ORDER BY d.doc_id"""))
 
   private val xSimHash = Q(
     (s, dir) => TextOps.simHashPortable(rd(s, dir, "documents")).orderBy("doc_id"),
@@ -2155,6 +2203,7 @@ object Queries {
     "x_langid" -> xLangId,
     "x_exact_dedup" -> xExactDedup,
     "x_curation_pipeline" -> xCurationPipeline,
+    "x_curation_neardup" -> xCurationNeardup,
     "x_fingerprint" -> xFingerprint,
     "x_ngram_jaccard" -> xNgramJaccard,
     "x_simhash" -> xSimHash,

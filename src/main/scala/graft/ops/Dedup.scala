@@ -97,31 +97,77 @@ object Dedup {
     * Input: (doc_a, doc_b) pairs (any extra columns ignored). Output:
     * (doc_id, cluster_id) for every doc that appears in a pair, with
     * cluster_id = min doc_id of its component. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      it += 1
-      val next = edges
-        .join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-        .unionByName(labels)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .localCheckpoint(true)
-      val changed = next.as("a")
-        .join(labels.as("b"), col("a.doc_id") === col("b.doc_id"))
-        .filter(col("a.cluster_id") =!= col("b.cluster_id"))
-        .limit(1)
-      converged = changed.isEmpty
-      labels = next
-    }
-    labels
+      // superseded label generations are freed EXPLICITLY: non-checkpoint
+      // rounds persist + materialize, and the previous cached generation
+      // is unpersisted once the next one exists — storage stays bounded
+      // at ~two generations instead of one (doc_id, cluster_id) copy per
+      // round awaiting GC. Every 5th round localCheckpoints instead,
+      // truncating the cached-plan lineage chain (the classic
+      // iterative-Spark plan-growth failure mode).
+      var prevCached: Option[DataFrame] = None
+      var converged = false
+      var it = 0
+      try {
+      while (!converged) {
+        it += 1
+        if (it > maxIters)
+          // a silently truncated propagation would return WRONG labels
+          // (one real component split into several) — fail loudly instead;
+          // propagation distance = component diameter, so hitting this
+          // means a >maxIters-hop near-dup chain: raise maxIters
+          throw new IllegalStateException(
+            s"connectedComponents did not converge within $maxIters rounds " +
+              "(component diameter exceeds the cap); raise maxIters")
+        val propagated = edges
+          .join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster_id"))
+          .unionByName(labels)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        val checkpointRound = it % 5 == 0
+        val next =
+          if (checkpointRound) propagated.localCheckpoint(true)
+          else {
+            val c = propagated.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            c.count() // materialize before the previous generation is freed
+            c
+          }
+        converged = next.as("a")
+          .join(labels.as("b"), col("a.doc_id") === col("b.doc_id"))
+          .filter(col("a.cluster_id") =!= col("b.cluster_id"))
+          .limit(1)
+          .isEmpty
+        prevCached.foreach(_.unpersist())
+        prevCached = if (checkpointRound) None else Some(next)
+        labels = next
+      }
+      // never hand a cached frame to the caller (the operator owns its
+      // cache lifecycle — see ngramJaccardPairs): checkpoint the final
+      // generation and release the cache entry
+      prevCached match {
+        case Some(cached) =>
+          val result = labels.localCheckpoint(true)
+          cached.unpersist()
+          result
+        case None => labels
+      }
+      } catch {
+        case t: Throwable =>
+          // the failure path must release the in-flight cached generation
+          // too — a thrown IllegalStateException (non-convergence) or a
+          // job failure must not leave blocks pinned in the cacheManager
+          prevCached.foreach(_.unpersist())
+          throw t
+      }
+    } finally edges.unpersist()
   }
 
   /** [[connectedComponents]] over [[minHashPairs]], labeling EVERY

@@ -1151,14 +1151,7 @@ object Queries {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE pairs AS ($minHashPairsSelectSql
-      ), e AS (
-        SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION ALL SELECT doc_b, doc_a FROM pairs
-      ), reach(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node
-      ), cc AS (
+      ), $ccReachCtesSql, cc AS (
         SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
       ), $curationFeatureCtesSql
       SELECT d.doc_id, q.n_tokens
@@ -1234,6 +1227,20 @@ object Queries {
       WHERE ($agree) * 1000 // $k >= 250"""
   }
 
+  /** The recursive connected-components CTEs (symmetrized edges `e` +
+    * reachability closure `reach`) over a CTE named `pairs` — shared by
+    * the x_neardup_clusters and x_curation_neardup oracles so the two
+    * labelings cannot drift. */
+  private def ccReachCtesSql: String =
+    """e AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node
+      )"""
+
   /** Portable minhash (md5-based permutation hashes + md5 band keys) for
     * the oracle; the xxhash64 production path is exercised in OpsSpec. */
   private val xMinHashPairs = Q(
@@ -1258,14 +1265,7 @@ object Queries {
       maxDfPct = Some(5))
       .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE pairs AS ($minHashPairsSelectSql
-      ), e AS (
-        SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION ALL SELECT doc_b, doc_a FROM pairs
-      ), reach(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.d, r.label FROM reach r JOIN e ON e.s = r.node
-      )
+      ), $ccReachCtesSql
       SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
       FROM reach GROUP BY node ORDER BY doc_id"""))
 
@@ -2236,5 +2236,20 @@ object Queries {
       Dedup.minHashPairs(rd(s, dir, "documents"), n = 3, k = 16, bands = 4,
         minEstJaccardX1000 = 250, portable = false, maxDfPct = Some(5))),
     "x_simhash" -> ((s: SparkSession, dir: String) =>
-      TextOps.simHash(rd(s, dir, "documents"))))
+      TextOps.simHash(rd(s, dir, "documents"))),
+    "x_neardup_clusters" -> ((s: SparkSession, dir: String) =>
+      Dedup.neardupClusters(rd(s, dir, "documents"), n = 3, k = 16,
+        bands = 4, minEstJaccardX1000 = 250, portable = false,
+        maxDfPct = Some(5))),
+    "x_curation_neardup" -> ((s: SparkSession, dir: String) => {
+      val docs = rd(s, dir, "documents")
+      val canon = Dedup.neardupClusters(docs, n = 3, k = 16, bands = 4,
+        minEstJaccardX1000 = 250, portable = false, maxDfPct = Some(5))
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      curationFeatured(docs).join(canon, Seq("doc_id"), "left_semi")
+        .filter(col("is_quality") && col("lang_pred") === col("lang"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }))
 }

@@ -249,12 +249,22 @@ class OpsSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
-    // a longer path exercises multi-round propagation (diameter 5)
+    // a longer path exercises multi-round propagation (diameter 5) and
+    // crosses a lineage-truncation checkpoint round (every 5th)
     val chain = (0 until 6).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
     val cc2 = Dedup.connectedComponents(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc2.values.toSet == Set(0L) && cc2.size == 7)
-    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator must release every persisted generation")
+    // an iteration cap that would truncate propagation must fail loudly,
+    // never return partially-propagated (wrong) labels
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the failure path must release caches too")
   }
 
   test("neardupClusters labels every doc; canonical = min id per cluster") {

@@ -133,6 +133,9 @@ class QueryPropertySpec extends AnyFunSuite {
     }
     val got = assembled.result()
     assert(got == full, "concatenated pages must equal the full ordered window (no gaps, no overlaps)")
-    assert(pages == (full.size + pageSize - 1) / pageSize || (full.isEmpty && pages == 1))
+    // the cursor walk only stops on a short page, so an exact-multiple
+    // window costs one extra (empty) page: pages = size/pageSize + 1
+    // for every size, including 0
+    assert(pages == full.size / pageSize + 1, s"pages=$pages size=${full.size}")
   }
 }

@@ -556,8 +556,9 @@ object Queries {
     * same greedy admission with a recursive CTE carrying each bucket's
     * allowed-timestamp window, so the denial SET (not just counts) and
     * every reset/retry_after value are checked. */
-  private val a6RateWindow = Q(
-    (s, dir) => {
+  /** The shared a6 request synthesis + exact admission simulation —
+    * also feeds the a9 quota view. */
+  private def rateLimitDecisions(s: SparkSession, dir: String): DataFrame = {
       val cfg = RateLimits.Config(defaultRpm = 4, searchRpm = 2,
         discoverRpm = 4, syncRpm = 3, webhookRpm = 1)
       val endpoint = when(pmod(col("event_id"), lit(5)) === 0, "/openfeeder?q=term")
@@ -575,11 +576,12 @@ object Queries {
         .filter(col("rn") <= 40).drop("rn")
         .withColumn("limit_rpm", RateLimits.endpointLimit(col("endpoint"), cfg))
       import s.implicits._
-      RateLimits.simulate(reqs.as[RateLimits.Req])
-        .toDF()
-        .orderBy("ip", "endpoint", "event_id")
-    },
-    Some("""WITH RECURSIVE reqs AS (
+      RateLimits.simulate(reqs.as[RateLimits.Req]).toDF()
+  }
+
+  /** The matching DuckDB decision-log SELECT (no final ORDER BY) —
+    * shared by the a6 oracle and the a9 quota-view oracle. */
+  private def rateLimitDecisionsSql: String = """WITH RECURSIVE reqs AS (
         SELECT * FROM (
           SELECT user_id % 20 AS ip,
             CASE event_id % 5 WHEN 0 THEN '/openfeeder?q=term'
@@ -619,7 +621,44 @@ object Queries {
       )
       SELECT ip, endpoint, event_id, sec, CAST(limit_rpm AS INT) AS limit_rpm,
         allowed, CAST(remaining AS INT) AS remaining, reset_ts, retry_after
-      FROM sim ORDER BY ip, endpoint, event_id"""))
+      FROM sim"""
+
+  private val a6RateWindow = Q(
+    (s, dir) => rateLimitDecisions(s, dir).orderBy("ip", "endpoint", "event_id"),
+    Some(s"$rateLimitDecisionsSql\n      ORDER BY ip, endpoint, event_id"))
+
+  /** A9: the `/admin/quota` usage view (main.py:818-837 →
+    * `RateLimiter.get_quota`, rate_limiter.py:218-273): a point-in-time
+    * snapshot per (ip, endpoint) bucket of the ALLOWED requests still
+    * inside the trailing 60 s window (denied requests are never recorded,
+    * so they never count), the bucket's limit, remaining, and
+    * percent_used rounded to 1 decimal — composed directly on the exact
+    * admission decision log, snapshot pinned at t=600 (mid-burst, so
+    * buckets show genuine partial usage). The admin-key gate itself is
+    * the x_auth_gate shape. */
+  private val a9QuotaView = Q(
+    (s, dir) => {
+      val t = 600L
+      rateLimitDecisions(s, dir)
+        .groupBy("ip", "endpoint", "limit_rpm")
+        .agg(sum(when(col("allowed") && col("sec") <= t && col("sec") > t - 60, 1L)
+          .otherwise(0L)).as("n_in_window"))
+        .select(col("ip"), col("endpoint"), col("n_in_window"),
+          col("limit_rpm"),
+          greatest(col("limit_rpm") - col("n_in_window"), lit(0L)).as("remaining"),
+          round(lit(100.0) * col("n_in_window") / col("limit_rpm"), 1).as("percent_used"))
+        .orderBy("ip", "endpoint")
+    },
+    Some(s"""SELECT ip, endpoint, n_in_window, limit_rpm,
+        CAST(greatest(limit_rpm - n_in_window, 0) AS BIGINT) AS remaining,
+        round(100.0 * n_in_window / limit_rpm, 1) AS percent_used
+      FROM (
+        SELECT ip, endpoint, CAST(limit_rpm AS INT) AS limit_rpm,
+          CAST(sum(CASE WHEN allowed AND sec <= 600 AND sec > 540 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_in_window
+        FROM ($rateLimitDecisionsSql)
+        GROUP BY ip, endpoint, limit_rpm
+      ) ORDER BY ip, endpoint"""))
 
   /** T2: differential sync window — inclusive [since, until]
     * (indexer.py:339-377). */
@@ -2179,6 +2218,7 @@ object Queries {
     "a3_last_modified" -> a3LastModified,
     "a4_chunk_count" -> a4ChunkCount,
     "a6_rate_window" -> a6RateWindow,
+    "a9_quota_view" -> a9QuotaView,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,

@@ -120,12 +120,13 @@ object Dedup {
         it += 1
         if (it > maxIters)
           // a silently truncated propagation would return WRONG labels
-          // (one real component split into several) — fail loudly instead;
-          // propagation distance = component diameter, so hitting this
-          // means a >maxIters-hop near-dup chain: raise maxIters
+          // (one real component split into several) — fail loudly instead.
+          // Convergence costs eccentricity + 1 rounds (the last round only
+          // CONFIRMS no label moved), so size maxIters to the largest
+          // expected component diameter plus one
           throw new IllegalStateException(
-            s"connectedComponents did not converge within $maxIters rounds " +
-              "(component diameter exceeds the cap); raise maxIters")
+            s"connectedComponents did not converge within $maxIters rounds; " +
+              "convergence needs component-diameter + 1 rounds — raise maxIters")
         val propagated = edges
           .join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster_id"))

@@ -635,7 +635,16 @@ object Queries {
     * percent_used rounded to 1 decimal — composed directly on the exact
     * admission decision log, snapshot pinned at t=600 (mid-burst, so
     * buckets show genuine partial usage). The admin-key gate itself is
-    * the x_auth_gate shape. */
+    * the x_auth_gate shape.
+    *
+    * Deliberate delta vs the reference: bucket EXISTENCE is not modeled —
+    * the reference only lists buckets currently in its in-memory map
+    * (created on first check, evicted by the 300 s stale sweep,
+    * rate_limiter.py:133-144), so an idle-evicted or not-yet-seen bucket
+    * is absent from its response, while this view emits a count-0 row for
+    * every (ip, endpoint) present in the decision log. A log-derived view
+    * has no process-lifetime map to consult; the per-bucket numbers are
+    * identical wherever both sides list the bucket. */
   private val a9QuotaView = Q(
     (s, dir) => {
       val t = 600L
@@ -1177,18 +1186,24 @@ object Queries {
     * the pair set and labels components by recursive reachability — an
     * independent algorithm from the Spark side's iterative min-label
     * relaxation. */
+  /** The near-dup curation pipeline, parameterized ONLY on the hash mode
+    * so the md5-portable registry query and the xxhash64 bench twin are
+    * the same code path by construction. */
+  private def curationNeardupPipeline(s: SparkSession, dir: String,
+      portable: Boolean): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val canon = Dedup.neardupClusters(docs, n = 3, k = 16, bands = 4,
+      minEstJaccardX1000 = 250, portable = portable, maxDfPct = Some(5))
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    curationFeatured(docs).join(canon, Seq("doc_id"), "left_semi")
+      .filter(col("is_quality") && col("lang_pred") === col("lang"))
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   private val xCurationNeardup = Q(
-    (s, dir) => {
-      val docs = rd(s, dir, "documents")
-      val canon = Dedup.neardupClusters(docs, n = 3, k = 16, bands = 4,
-        minEstJaccardX1000 = 250, portable = true, maxDfPct = Some(5))
-        .filter(col("doc_id") === col("cluster_id"))
-        .select("doc_id")
-      curationFeatured(docs).join(canon, Seq("doc_id"), "left_semi")
-        .filter(col("is_quality") && col("lang_pred") === col("lang"))
-        .select("doc_id", "n_tokens")
-        .orderBy("doc_id")
-    },
+    (s, dir) => curationNeardupPipeline(s, dir, portable = true),
     Some(s"""WITH RECURSIVE pairs AS ($minHashPairsSelectSql
       ), $ccReachCtesSql, cc AS (
         SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
@@ -2281,15 +2296,6 @@ object Queries {
       Dedup.neardupClusters(rd(s, dir, "documents"), n = 3, k = 16,
         bands = 4, minEstJaccardX1000 = 250, portable = false,
         maxDfPct = Some(5))),
-    "x_curation_neardup" -> ((s: SparkSession, dir: String) => {
-      val docs = rd(s, dir, "documents")
-      val canon = Dedup.neardupClusters(docs, n = 3, k = 16, bands = 4,
-        minEstJaccardX1000 = 250, portable = false, maxDfPct = Some(5))
-        .filter(col("doc_id") === col("cluster_id"))
-        .select("doc_id")
-      curationFeatured(docs).join(canon, Seq("doc_id"), "left_semi")
-        .filter(col("is_quality") && col("lang_pred") === col("lang"))
-        .select("doc_id", "n_tokens")
-        .orderBy("doc_id")
-    }))
+    "x_curation_neardup" -> ((s: SparkSession, dir: String) =>
+      curationNeardupPipeline(s, dir, portable = false)))
 }

@@ -76,6 +76,15 @@ object ScaleSmoke {
       graft.ops.TextOps.ngramJaccardPairs(docs, n = 3, thresholdX1000 = 200,
         maxDfPct = Some(5)).count())
     println(s"SMOKE jaccard pairs: $nj")
+
+    // connected components over the full 10×-scale pair graph: each
+    // original doc's replica fan must collapse to one cluster
+    val clusters = timed("connected components over minhash pairs")(
+      graft.ops.Dedup.neardupClusters(docs, n = 3, k = 16, bands = 4,
+        minEstJaccardX1000 = 250, portable = false, maxDfPct = Some(5)))
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val nLabeled = clusters.count()
+    println(s"SMOKE cc clusters: $nClusters over $nLabeled labeled docs")
     println("SMOKE done; cacheManager empty = " +
       spark.sharedState.cacheManager.isEmpty)
     spark.stop()

@@ -32,9 +32,14 @@ import org.apache.spark.sql.functions._
   * Scale shape: buckets are independent → hash-partition by (ip,
   * endpoint) and walk each bucket sequentially (the reference's
   * per-bucket lock is the same serialization); in-flight state per
-  * bucket is ≤ limit timestamps. The batch entry point sorts each
-  * bucket's requests by (sec, event_id); a hot bucket holds only its own
-  * requests, not the corpus.
+  * bucket is ≤ limit timestamps. The batch entry point never
+  * materializes a bucket in memory: requests are repartitioned on the
+  * bucket key, sorted WITHIN partitions by (ip, endpoint, sec, event_id)
+  * — Spark's external sort, which spills — and walked by a streaming
+  * `mapPartitions` that resets its O(limit) window state at each bucket
+  * boundary. A hot bucket (one bot IP hammering one endpoint — exactly
+  * the workload a limiter replay exists to analyze) therefore costs disk
+  * spill, not task heap.
   */
 object RateLimits {
 
@@ -61,35 +66,58 @@ object RateLimits {
 
   /** Exact `check_rate_limit` sequencing over a batch request log: one
     * decision row per request with the allow/deny verdict and the
-    * X-RateLimit header values. Distributed across buckets (groupByKey on
-    * (ip, endpoint)); within a bucket the walk is inherently sequential —
-    * the same serialization the reference's per-bucket lock imposes. */
+    * X-RateLimit header values. Distributed across buckets (hash
+    * repartition on (ip, endpoint)); within a bucket the walk is
+    * inherently sequential — the same serialization the reference's
+    * per-bucket lock imposes — but it STREAMS: `sortWithinPartitions`
+    * time-orders each partition with Spark's spilling external sort, and
+    * the partition walk detects bucket boundaries on the fly, so the only
+    * in-heap state is the ≤ limit_rpm allowed-timestamp window (the
+    * reference's `RateLimitInfo.requests` after cleanup). A single
+    * (ip, endpoint) bucket with 10⁹ requests never lands in one task's
+    * memory. */
   def simulate(reqs: Dataset[Req]): Dataset[Decision] = {
     import reqs.sparkSession.implicits._
-    reqs.groupByKey(r => (r.ip, r.endpoint))
-      .flatMapGroups { (_: (Long, String), it: Iterator[Req]) =>
-        val sorted = it.toVector.sortBy(r => (r.sec, r.event_id))
-        decideBucket(sorted, scala.collection.mutable.ArrayDeque.empty[Long])
-          .iterator
+    reqs
+      .repartition(col("ip"), col("endpoint"))
+      .sortWithinPartitions("ip", "endpoint", "sec", "event_id")
+      .mapPartitions { it =>
+        var curIp = 0L
+        var curEp: String = null
+        val q = scala.collection.mutable.ArrayDeque.empty[Long]
+        it.map { r =>
+          if (curEp == null || r.ip != curIp || r.endpoint != curEp) {
+            curIp = r.ip; curEp = r.endpoint; q.clear()
+          }
+          decideOne(r, q)
+        }
       }
   }
 
-  /** Walk one bucket's time-ordered requests, mutating `q` (the allowed
-    * timestamps still inside the window — the reference's
-    * `RateLimitInfo.requests` after cleanup). Shared by the batch
-    * simulate and the streaming twin (which carries `q` across batches
-    * as group state). */
+  /** Decide one request against its bucket's window state `q` (the
+    * allowed timestamps still inside the window — the reference's
+    * `RateLimitInfo.requests` after cleanup), mutating `q`. Shared by the
+    * streaming partition walk in [[simulate]] and the structured-streaming
+    * twin (which carries `q` across micro-batches as group state). */
+  def decideOne(r: Req,
+      q: scala.collection.mutable.ArrayDeque[Long]): Decision = {
+    // cleanup (rate_limiter.py:65-69): keep ts with now - ts < 60
+    while (q.nonEmpty && q.head < r.sec - 59) q.removeHead()
+    val cnt = q.size
+    val allowed = cnt < r.limit_rpm
+    val remaining = math.max(r.limit_rpm - cnt, 0)
+    // denial with an EMPTY recorded window (possible when limit_rpm <= 0,
+    // the RATE_LIMIT_*_RPM=0 override) falls back to now + 60, exactly
+    // like the reference's `if bucket.requests: ... else now + 60`
+    // (rate_limiter.py:196-203)
+    val reset = if (allowed || q.isEmpty) r.sec + 60 else q.head + 60
+    if (allowed) q.append(r.sec)
+    Decision(r.ip, r.endpoint, r.event_id, r.sec, r.limit_rpm, allowed,
+      remaining, reset, if (allowed) None else Some(reset))
+  }
+
+  /** Walk one bucket's time-ordered requests through [[decideOne]]. */
   def decideBucket(sorted: Seq[Req],
       q: scala.collection.mutable.ArrayDeque[Long]): Seq[Decision] =
-    sorted.map { r =>
-      // cleanup (rate_limiter.py:65-69): keep ts with now - ts < 60
-      while (q.nonEmpty && q.head < r.sec - 59) q.removeHead()
-      val cnt = q.size
-      val allowed = cnt < r.limit_rpm
-      val remaining = math.max(r.limit_rpm - cnt, 0)
-      val reset = if (allowed) r.sec + 60 else q.head + 60
-      if (allowed) q.append(r.sec)
-      Decision(r.ip, r.endpoint, r.event_id, r.sec, r.limit_rpm, allowed,
-        remaining, reset, if (allowed) None else Some(reset))
-    }
+    sorted.map(decideOne(_, q))
 }

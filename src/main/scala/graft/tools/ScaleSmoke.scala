@@ -85,6 +85,30 @@ object ScaleSmoke {
     val nClusters = clusters.select("cluster_id").distinct().count()
     val nLabeled = clusters.count()
     println(s"SMOKE cc clusters: $nClusters over $nLabeled labeled docs")
+    // ---- hot-bucket rate-limiter replay: one (ip, endpoint) bucket with
+    // ~10⁶ requests (a bot hammering one endpoint — the workload a limiter
+    // replay analyzes). The batch walk must stream it (external sort +
+    // O(limit) window state), never materialize the bucket in one task
+    // heap. Invariant checked: allowed count == one admission per window
+    // slot (limit per rolling 60 s) plus a background bucket for contrast.
+    val hotN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_HOT_REQS", "1000000").toLong
+    val hotReqs = spark.range(hotN).select(
+        lit(7L).as("ip"), lit("/openfeeder?q=bot").as("endpoint"),
+        (col("id") / lit(100)).cast("long").as("sec"), // ~100 req/s for ~10⁴ s
+        col("id").as("event_id"), lit(30).as("limit_rpm"))
+      .unionByName(spark.range(500).select(
+        lit(8L).as("ip"), lit("/openfeeder").as("endpoint"),
+        (col("id") * 7).cast("long").as("sec"), col("id").as("event_id"),
+        lit(100).as("limit_rpm")))
+    val hotDecisions = timed(s"rate-limiter replay, hot bucket ($hotN reqs)")(
+      graft.query.RateLimits.simulate(hotReqs.as[graft.query.RateLimits.Req])
+        .filter(col("ip") === 7L && col("allowed")).count())
+    // 30 rpm over 10⁴ s of requests → ~30 per 60 s window
+    val expectedAllowed = (hotN / 100 / 60 + 1) * 30
+    println(s"SMOKE hot-bucket allowed: $hotDecisions (≈ $expectedAllowed)")
+    require(hotDecisions <= expectedAllowed,
+      s"hot bucket admitted $hotDecisions > window bound $expectedAllowed")
+
     println("SMOKE done; cacheManager empty = " +
       spark.sharedState.cacheManager.isEmpty)
     spark.stop()

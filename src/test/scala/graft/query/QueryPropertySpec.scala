@@ -55,7 +55,11 @@ class QueryPropertySpec extends AnyFunSuite {
         val count = bucket.size
         val allowed = count < r.limit_rpm
         val remaining = math.max(0, r.limit_rpm - count)
-        val reset = if (allowed) r.sec + 60 else bucket.head + 60
+        // Python: `if bucket.requests: oldest + 60 else now + 60`
+        // (rate_limiter.py:196-203) — the empty-bucket denial is reachable
+        // when a limit is overridden to 0 (RATE_LIMIT_*_RPM=0)
+        val reset =
+          if (allowed || bucket.isEmpty) r.sec + 60 else bucket.head + 60
         if (allowed) bucket += r.sec
         r.event_id -> ((allowed, remaining, reset,
           if (allowed) None else Some(reset)))
@@ -65,6 +69,9 @@ class QueryPropertySpec extends AnyFunSuite {
 
   private val reqStream: Gen[Seq[RateLimits.Req]] = for {
     n <- Gen.choose(20, 80)
+    // webhook limit spans {0, 1}: 0 models the RATE_LIMIT_WEBHOOK_RPM=0
+    // override, whose every denial takes the empty-bucket reset fallback
+    webhookLimit <- Gen.oneOf(0, 1)
     rows <- Gen.listOfN(n, for {
       ip <- Gen.choose(0L, 2L)
       ep <- Gen.oneOf("/openfeeder?q=x", "/openfeeder/sync",
@@ -73,7 +80,7 @@ class QueryPropertySpec extends AnyFunSuite {
     } yield (ip, ep, sec))
   } yield rows.zipWithIndex.map { case ((ip, ep, sec), i) =>
     val lim = RateLimits.Config(defaultRpm = 3, searchRpm = 2,
-      discoverRpm = 3, syncRpm = 2, webhookRpm = 1)
+      discoverRpm = 3, syncRpm = 2, webhookRpm = webhookLimit)
     val limit = ep match {
       case e if e.contains("?q=") => lim.searchRpm
       case e if e.contains("webhook") => lim.webhookRpm
@@ -107,6 +114,21 @@ class QueryPropertySpec extends AnyFunSuite {
               s"window at $t holds $inWindow > limit ${ds.head.limit_rpm}")
           }
       }
+    }
+  }
+
+  test("limit 0 override: every request denied with the now+60 empty-bucket reset") {
+    val s = spark; import s.implicits._
+    // rate_limiter.py:196-203: denial with bucket.requests empty (nothing
+    // was ever allowed) resets at now + 60, not oldest + 60
+    val reqs = Seq(RateLimits.Req(1L, "/webhook/update", 10L, 0L, 0),
+      RateLimits.Req(1L, "/webhook/update", 25L, 1L, 0))
+    val got = RateLimits.simulate(reqs.toDS()).collect().sortBy(_.event_id)
+    got.zip(Seq(70L, 85L)).foreach { case (d, expectedReset) =>
+      assert(!d.allowed)
+      assert(d.remaining == 0)
+      assert(d.reset_ts == expectedReset)
+      assert(d.retry_after.contains(expectedReset))
     }
   }
 

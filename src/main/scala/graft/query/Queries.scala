@@ -549,15 +549,22 @@ object Queries {
     * `_get_endpoint_limit` classification (rate_limiter.py:145-162) and
     * the X-RateLimit-Reset / retry_after math, per [[RateLimits]]. The
     * request log is synthesized deterministically from events (20 ips ×
-    * the 5 endpoint classes; times spread over a 1200 s burst; first 40
-    * per bucket), with per-class limits {default 4, search 2, discover 4,
+    * the 5 endpoint classes; times in per-ip bands over a 1200 s burst —
+    * see [[rateLimitDecisions]] — first 40 per bucket), with per-class
+    * limits {default 4, search 2, discover 4,
     * sync 3, webhook 1} — the reference's RATE_LIMIT_*_RPM env knobs
     * scaled so both verdicts appear at test scale. The oracle replays the
     * same greedy admission with a recursive CTE carrying each bucket's
     * allowed-timestamp window, so the denial SET (not just counts) and
     * every reset/retry_after value are checked. */
   /** The shared a6 request synthesis + exact admission simulation —
-    * also feeds the a9 quota view. */
+    * also feeds the a9 quota view. Request times land in per-ip BANDS so
+    * every bucket-lifecycle verdict exists at the a9 snapshot (t = 600):
+    * ips 0-2 only in [0, 250) (stale — swept before the snapshot), ips
+    * 3-4 only in (600, 1101) (not yet seen), ips 5-7 in [310, 560)
+    * (alive but mostly outside the 60 s count window — the live count-0
+    * row), ips 8-13 in [480, 600) (alive with active counts), ips 14-19
+    * across the whole [0, 1200) burst (long multi-window walks). */
   private def rateLimitDecisions(s: SparkSession, dir: String): DataFrame = {
       val cfg = RateLimits.Config(defaultRpm = 4, searchRpm = 2,
         discoverRpm = 4, syncRpm = 3, webhookRpm = 1)
@@ -566,9 +573,16 @@ object Queries {
         .when(pmod(col("event_id"), lit(5)) === 2, "/webhook/update")
         .when(pmod(col("event_id"), lit(5)) === 3, "/.well-known/openfeeder.json")
         .otherwise("/openfeeder")
+      val ip = pmod(col("user_id"), lit(20))
+      val base = pmod(col("event_id") * 7, lit(1200))
+      val sec = when(ip < 3, pmod(base, lit(250)))
+        .when(ip < 5, lit(601) + pmod(base, lit(500)))
+        .when(ip < 8, lit(310) + pmod(base, lit(250)))
+        .when(ip < 14, lit(480) + pmod(base, lit(120)))
+        .otherwise(base)
       val reqs0 = rd(s, dir, "events").select(
-        pmod(col("user_id"), lit(20)).as("ip"), endpoint.as("endpoint"),
-        pmod(col("event_id") * 7, lit(1200)).cast("long").as("sec"),
+        ip.as("ip"), endpoint.as("endpoint"),
+        sec.cast("long").as("sec"),
         col("event_id"))
       val reqs = reqs0
         .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
@@ -581,20 +595,28 @@ object Queries {
 
   /** The matching DuckDB decision-log SELECT (no final ORDER BY) —
     * shared by the a6 oracle and the a9 quota-view oracle. */
-  private def rateLimitDecisionsSql: String = """WITH RECURSIVE reqs AS (
-        SELECT * FROM (
+  private def rateLimitDecisionsSql: String = """WITH RECURSIVE keyed AS (
+        SELECT ip, endpoint,
+          CAST(CASE WHEN ip < 3 THEN base % 250
+            WHEN ip < 5 THEN 601 + base % 500
+            WHEN ip < 8 THEN 310 + base % 250
+            WHEN ip < 14 THEN 480 + base % 120
+            ELSE base END AS BIGINT) AS sec,
+          event_id
+        FROM (
           SELECT user_id % 20 AS ip,
             CASE event_id % 5 WHEN 0 THEN '/openfeeder?q=term'
               WHEN 1 THEN '/openfeeder/sync' WHEN 2 THEN '/webhook/update'
               WHEN 3 THEN '/.well-known/openfeeder.json' ELSE '/openfeeder' END AS endpoint,
-            CAST((event_id * 7) % 1200 AS BIGINT) AS sec,
-            event_id,
-            row_number() OVER (PARTITION BY user_id % 20,
-              CASE event_id % 5 WHEN 0 THEN '/openfeeder?q=term'
-                WHEN 1 THEN '/openfeeder/sync' WHEN 2 THEN '/webhook/update'
-                WHEN 3 THEN '/.well-known/openfeeder.json' ELSE '/openfeeder' END
-              ORDER BY (event_id * 7) % 1200, event_id) AS rn
+            (event_id * 7) % 1200 AS base,
+            event_id
           FROM events)
+      ), reqs AS (
+        SELECT * FROM (
+          SELECT ip, endpoint, sec, event_id,
+            row_number() OVER (PARTITION BY ip, endpoint
+              ORDER BY sec, event_id) AS rn
+          FROM keyed)
         WHERE rn <= 40
       ), lim AS (
         SELECT *, CASE WHEN contains(endpoint, '?q=') THEN 2
@@ -637,21 +659,33 @@ object Queries {
     * buckets show genuine partial usage). The admin-key gate itself is
     * the x_auth_gate shape.
     *
-    * Deliberate delta vs the reference: bucket EXISTENCE is not modeled —
-    * the reference only lists buckets currently in its in-memory map
-    * (created on first check, evicted by the 300 s stale sweep,
-    * rate_limiter.py:133-144), so an idle-evicted or not-yet-seen bucket
-    * is absent from its response, while this view emits a count-0 row for
-    * every (ip, endpoint) present in the decision log. A log-derived view
-    * has no process-lifetime map to consult; the per-bucket numbers are
-    * identical wherever both sides list the bucket. */
+    * Bucket EXISTENCE is exact: the reference lists only buckets alive in
+    * its in-memory map — created on the first `check_rate_limit` for the
+    * (ip, endpoint) key and evicted by the periodic stale sweep
+    * (`_cleanup_stale_buckets`, rate_limiter.py:132-144), where a bucket
+    * is stale once `now - last_cleanup > 300` (is_stale,
+    * rate_limiter.py:76-78) and `last_cleanup` advances on EVERY check —
+    * allowed or denied — because `bucket.cleanup()` runs before the
+    * verdict (rate_limiter.py:185, 65-69). So a bucket appears iff its
+    * last CHECKED request is within 300 s of the snapshot, and a bucket
+    * whose first request is after the snapshot does not exist yet. One
+    * modeling choice, stated: the reference's sweep fires on a 300 s
+    * timer whose phase depends on process start, so a stale bucket can
+    * linger up to one extra interval before eviction; this view pins the
+    * deterministic fixpoint "a sweep ran immediately before the
+    * snapshot" — the only phase-independent semantics a log-derived
+    * replay can state. */
   private val a9QuotaView = Q(
     (s, dir) => {
       val t = 600L
       rateLimitDecisions(s, dir)
         .groupBy("ip", "endpoint", "limit_rpm")
-        .agg(sum(when(col("allowed") && col("sec") <= t && col("sec") > t - 60, 1L)
-          .otherwise(0L)).as("n_in_window"))
+        .agg(
+          max(when(col("sec") <= t, col("sec"))).as("last_checked"),
+          sum(when(col("allowed") && col("sec") <= t && col("sec") > t - 60, 1L)
+            .otherwise(0L)).as("n_in_window"))
+        // bucket exists at t iff seen by t and not stale: t - last ≤ 300
+        .filter(col("last_checked").isNotNull && col("last_checked") >= t - 300)
         .select(col("ip"), col("endpoint"), col("n_in_window"),
           col("limit_rpm"),
           greatest(col("limit_rpm") - col("n_in_window"), lit(0L)).as("remaining"),
@@ -663,11 +697,14 @@ object Queries {
         round(100.0 * n_in_window / limit_rpm, 1) AS percent_used
       FROM (
         SELECT ip, endpoint, CAST(limit_rpm AS INT) AS limit_rpm,
+          max(CASE WHEN sec <= 600 THEN sec END) AS last_checked,
           CAST(sum(CASE WHEN allowed AND sec <= 600 AND sec > 540 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_in_window
         FROM ($rateLimitDecisionsSql)
         GROUP BY ip, endpoint, limit_rpm
-      ) ORDER BY ip, endpoint"""))
+      )
+      WHERE last_checked IS NOT NULL AND last_checked >= 300
+      ORDER BY ip, endpoint"""))
 
   /** T2: differential sync window — inclusive [since, until]
     * (indexer.py:339-377). */

@@ -565,7 +565,9 @@ object Queries {
     * (alive but mostly outside the 60 s count window — the live count-0
     * row), ips 8-13 in [480, 600) (alive with active counts), ips 14-19
     * across the whole [0, 1200) burst (long multi-window walks). */
-  private def rateLimitDecisions(s: SparkSession, dir: String): DataFrame = {
+  /** The capped request log (ip, endpoint, sec, event_id, limit_rpm)
+    * shared by a6/a9/x_quota_reset. */
+  private def rateLimitRequests(s: SparkSession, dir: String): DataFrame = {
       val cfg = RateLimits.Config(defaultRpm = 4, searchRpm = 2,
         discoverRpm = 4, syncRpm = 3, webhookRpm = 1)
       val endpoint = when(pmod(col("event_id"), lit(5)) === 0, "/openfeeder?q=term")
@@ -580,17 +582,19 @@ object Queries {
         .when(ip < 8, lit(310) + pmod(base, lit(250)))
         .when(ip < 14, lit(480) + pmod(base, lit(120)))
         .otherwise(base)
-      val reqs0 = rd(s, dir, "events").select(
-        ip.as("ip"), endpoint.as("endpoint"),
-        sec.cast("long").as("sec"),
-        col("event_id"))
-      val reqs = reqs0
+      rd(s, dir, "events").select(
+          ip.as("ip"), endpoint.as("endpoint"),
+          sec.cast("long").as("sec"),
+          col("event_id"))
         .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("ip", "endpoint").orderBy("sec", "event_id")))
         .filter(col("rn") <= 40).drop("rn")
         .withColumn("limit_rpm", RateLimits.endpointLimit(col("endpoint"), cfg))
+  }
+
+  private def rateLimitDecisions(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
-      RateLimits.simulate(reqs.as[RateLimits.Req]).toDF()
+      RateLimits.simulate(rateLimitRequests(s, dir).as[RateLimits.Req]).toDF()
   }
 
   /** The matching DuckDB decision-log SELECT (no final ORDER BY) —
@@ -702,6 +706,179 @@ object Queries {
             AS n_in_window
         FROM ($rateLimitDecisionsSql)
         GROUP BY ip, endpoint, limit_rpm
+      )
+      WHERE last_checked IS NOT NULL AND last_checked >= 300
+      ORDER BY ip, endpoint"""))
+
+  /** The admin-key gate for the `/admin` endpoints — `_check_admin_auth`
+    * (main.py:799-815): with no RATE_LIMIT_ADMIN_KEY configured, every
+    * admin call answers 403 "Admin endpoints are disabled" (the endpoints
+    * are switched off, regardless of credentials); with a key configured,
+    * a missing or non-`Bearer ` Authorization header answers 401 "Missing
+    * Bearer token", a Bearer token that is not exactly the key answers
+    * 403 "Invalid admin key" (`hmac.compare_digest` — semantically exact
+    * string equality; the timing property is a serving-side concern), and
+    * the exact key passes. Error bodies are FastAPI's HTTPException
+    * rendering `{"detail": message}`. The synthesis crosses configured /
+    * not with six header shapes (exact key, wrong key, absent, Basic,
+    * lowercase `bearer`, `Bearer` with no space) so every branch of the
+    * 401/403/200 matrix appears. This is the sidecar's 403-first variant
+    * next to x_auth_gate's express 401-envelope variant. */
+  private val xAdminAuth = Q(
+    (s, dir) => {
+      val adminKey = "admin-secret-key"
+      val configured = pmod(col("doc_id"), lit(4)) =!= 3
+      val m6 = pmod(col("doc_id"), lit(6))
+      val header = when(m6 === 0, s"Bearer $adminKey")
+        .when(m6 === 1, "Bearer wrong-key")
+        .when(m6 === 2, lit(null).cast("string"))
+        .when(m6 === 3, s"Basic $adminKey")
+        .when(m6 === 4, s"bearer $adminKey")
+        .otherwise(lit("Bearer"))
+      val notBearer = col("auth_header").isNull ||
+        !col("auth_header").startsWith("Bearer ")
+      val badKey = substring(col("auth_header"), 8, Int.MaxValue) =!= adminKey
+      rd(s, dir, "documents")
+        .select(col("doc_id"), configured.as("admin_key_configured"),
+          header.as("auth_header"))
+        .withColumn("status_code",
+          when(!col("admin_key_configured"), 403)
+            .when(notBearer, 401)
+            .when(badKey, 403)
+            .otherwise(200))
+        .withColumn("detail",
+          when(!col("admin_key_configured"), "Admin endpoints are disabled")
+            .when(notBearer, "Missing Bearer token")
+            .when(badKey, "Invalid admin key"))
+        .withColumn("body", when(col("status_code") =!= 200,
+          to_json(struct(col("detail").as("detail")))))
+        .drop("detail")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, admin_key_configured, auth_header, status_code,
+        CASE WHEN status_code <> 200 THEN to_json(struct_pack(detail := detail)) END AS body
+      FROM (
+        SELECT *,
+          CASE WHEN NOT admin_key_configured THEN 403
+               WHEN auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ') THEN 401
+               WHEN substr(auth_header, 8) <> 'admin-secret-key' THEN 403
+               ELSE 200 END AS status_code,
+          CASE WHEN NOT admin_key_configured THEN 'Admin endpoints are disabled'
+               WHEN auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ') THEN 'Missing Bearer token'
+               WHEN substr(auth_header, 8) <> 'admin-secret-key' THEN 'Invalid admin key'
+               END AS detail
+        FROM (
+          SELECT doc_id, doc_id % 4 <> 3 AS admin_key_configured,
+            CASE doc_id % 6 WHEN 0 THEN 'Bearer admin-secret-key'
+              WHEN 1 THEN 'Bearer wrong-key'
+              WHEN 3 THEN 'Basic admin-secret-key'
+              WHEN 4 THEN 'bearer admin-secret-key'
+              WHEN 5 THEN 'Bearer' END AS auth_header
+          FROM documents))
+      ORDER BY doc_id"""))
+
+  /** `POST /admin/quota/reset` (main.py:840-858 →
+    * `RateLimiter.reset_quota`, rate_limiter.py:276-294): deleting an
+    * ip's buckets (or all) clears their recorded windows, so subsequent
+    * admissions restart fresh — a reset is not a view-side filter but a
+    * STATE transform that changes later allow/deny verdicts. Modeled by
+    * epoch-partitioning the request log: each reset splits its affected
+    * buckets' timelines, and the exact admission walk runs per
+    * (ip, endpoint, epoch) — a fresh epoch is exactly a recreated bucket.
+    * Scenario: a global reset at t=350 and a per-ip reset of ip 9 at
+    * t=520 (a request at sec == tr is pre-reset; strictly later requests
+    * see the cleared bucket); the result is the /admin/quota view at
+    * t=600 over the reset-aware decision log, where a bucket exists iff
+    * its last post-reset check is within the 300 s sweep horizon (see
+    * a9). Epochs ride the bucket key through [[RateLimits.simulate]] (a
+    * `#epoch` suffix on the endpoint — limits are classified on the clean
+    * endpoint beforehand), so the streaming partition walk is reused
+    * unchanged. */
+  private val xQuotaReset = Q(
+    (s, dir) => {
+      import s.implicits._
+      val t = 600L
+      val epoch = when(col("sec") > 350, 1).otherwise(0) +
+        when(col("ip") === 9 && col("sec") > 520, 1).otherwise(0)
+      val reqs = rateLimitRequests(s, dir)
+        .withColumn("endpoint", concat(col("endpoint"), lit("#"), epoch))
+      val dec = RateLimits.simulate(reqs.as[RateLimits.Req]).toDF()
+        .withColumn("endpoint", substring_index(col("endpoint"), "#", 1))
+      val tr = when(col("ip") === 9, 520L).otherwise(350L)
+      dec.groupBy("ip", "endpoint", "limit_rpm")
+        .agg(
+          max(when(col("sec") <= t && col("sec") > tr, col("sec"))).as("last_checked"),
+          sum(when(col("allowed") && col("sec") <= t && col("sec") > t - 60 &&
+              col("sec") > tr, 1L).otherwise(0L)).as("n_in_window"))
+        .filter(col("last_checked").isNotNull && col("last_checked") >= t - 300)
+        .select(col("ip"), col("endpoint"), col("n_in_window"),
+          col("limit_rpm"),
+          greatest(col("limit_rpm") - col("n_in_window"), lit(0L)).as("remaining"),
+          round(lit(100.0) * col("n_in_window") / col("limit_rpm"), 1).as("percent_used"))
+        .orderBy("ip", "endpoint")
+    },
+    Some("""WITH RECURSIVE keyed AS (
+        SELECT ip, endpoint,
+          CAST(CASE WHEN ip < 3 THEN base % 250
+            WHEN ip < 5 THEN 601 + base % 500
+            WHEN ip < 8 THEN 310 + base % 250
+            WHEN ip < 14 THEN 480 + base % 120
+            ELSE base END AS BIGINT) AS sec,
+          event_id
+        FROM (
+          SELECT user_id % 20 AS ip,
+            CASE event_id % 5 WHEN 0 THEN '/openfeeder?q=term'
+              WHEN 1 THEN '/openfeeder/sync' WHEN 2 THEN '/webhook/update'
+              WHEN 3 THEN '/.well-known/openfeeder.json' ELSE '/openfeeder' END AS endpoint,
+            (event_id * 7) % 1200 AS base,
+            event_id
+          FROM events)
+      ), reqs AS (
+        SELECT * FROM (
+          SELECT ip, endpoint, sec, event_id,
+            row_number() OVER (PARTITION BY ip, endpoint
+              ORDER BY sec, event_id) AS rn
+          FROM keyed)
+        WHERE rn <= 40
+      ), lim AS (
+        SELECT ip, endpoint, sec, event_id,
+          CASE WHEN contains(endpoint, '?q=') THEN 2
+            WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
+            WHEN contains(split_part(endpoint, '?', 1), 'webhook')
+              OR contains(split_part(endpoint, '?', 1), 'update') THEN 1
+            WHEN contains(split_part(endpoint, '?', 1), 'sync') THEN 3
+            ELSE 4 END AS limit_rpm,
+          (CASE WHEN sec > 350 THEN 1 ELSE 0 END +
+           CASE WHEN ip = 9 AND sec > 520 THEN 1 ELSE 0 END) AS epoch
+        FROM reqs
+      ), seq2 AS (
+        SELECT *, row_number() OVER (PARTITION BY ip, endpoint, epoch
+          ORDER BY sec, event_id) AS rn2
+        FROM lim
+      ), sim AS (
+        SELECT ip, endpoint, epoch, rn2, sec, limit_rpm,
+          limit_rpm > 0 AS allowed,
+          CASE WHEN limit_rpm > 0 THEN [sec] ELSE [] END AS q
+        FROM seq2 WHERE rn2 = 1
+        UNION ALL
+        SELECT r.ip, r.endpoint, r.epoch, r.rn2, r.sec, r.limit_rpm,
+          len(pq) < r.limit_rpm AS allowed,
+          CASE WHEN len(pq) < r.limit_rpm THEN list_append(pq, r.sec) ELSE pq END AS q
+        FROM sim s JOIN seq2 r ON r.ip = s.ip AND r.endpoint = s.endpoint
+          AND r.epoch = s.epoch AND r.rn2 = s.rn2 + 1,
+        LATERAL (SELECT list_filter(s.q, x -> x >= r.sec - 59) AS pq) t
+      )
+      SELECT ip, endpoint, n_in_window, limit_rpm,
+        CAST(greatest(limit_rpm - n_in_window, 0) AS BIGINT) AS remaining,
+        round(100.0 * n_in_window / limit_rpm, 1) AS percent_used
+      FROM (
+        SELECT ip, endpoint, CAST(limit_rpm AS INT) AS limit_rpm,
+          max(CASE WHEN sec <= 600 AND sec > (CASE WHEN ip = 9 THEN 520 ELSE 350 END)
+            THEN sec END) AS last_checked,
+          CAST(sum(CASE WHEN allowed AND sec <= 600 AND sec > 540
+            AND sec > (CASE WHEN ip = 9 THEN 520 ELSE 350 END)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_in_window
+        FROM sim GROUP BY ip, endpoint, limit_rpm
       )
       WHERE last_checked IS NOT NULL AND last_checked >= 300
       ORDER BY ip, endpoint"""))
@@ -2271,6 +2448,8 @@ object Queries {
     "a4_chunk_count" -> a4ChunkCount,
     "a6_rate_window" -> a6RateWindow,
     "a9_quota_view" -> a9QuotaView,
+    "x_admin_auth" -> xAdminAuth,
+    "x_quota_reset" -> xQuotaReset,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,

@@ -85,19 +85,123 @@ object Dedup {
   /** Connected components over a near-dup pair set — the step that turns
     * pairwise candidates into DEDUP CLUSTERS so a curation pipeline can
     * keep one canonical per cluster (pairs alone under-delete: a≈b, b≈c
-    * must collapse to ONE survivor even when a≉c directly). Min-label
-    * propagation, level-synchronous like [[graft.job.Crawl.bfs]]: each
-    * iteration joins the (symmetrized) edges against current labels,
-    * takes the min label per node, and localCheckpoints so the iterative
-    * lineage stays flat. Iteration count = cluster diameter — near-dup
-    * components are shallow (replica fans, template families), so this
-    * converges in a handful of rounds; the per-round shuffle carries only
-    * (node, label) longs. Convergence is detected distributed (one
-    * `limit(1).count()` on the changed set — no label collect).
+    * must collapse to ONE survivor even when a≉c directly).
     * Input: (doc_a, doc_b) pairs (any extra columns ignored). Output:
     * (doc_id, cluster_id) for every doc that appears in a pair, with
-    * cluster_id = min doc_id of its component. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * cluster_id = min doc_id of its component.
+    *
+    * Default algorithm: alternating large-star/small-star contraction
+    * ([[connectedComponentsStar]]) — round count is O(log n) in the
+    * largest component size, INDEPENDENT of its diameter, so a
+    * chain-shaped family (a document edited iteratively d times) costs
+    * ~2·log₂ d rounds instead of the d+1 that level-synchronous label
+    * propagation ([[connectedComponentsMinLabel]]) needs. On the
+    * shallow fan/template graphs near-dup corpora usually produce, both
+    * run 3-5 rounds and measure within noise of each other (see
+    * NOTES.md round-5 CCBench numbers), so the diameter-robust one is
+    * the default; the min-label path stays available for callers that
+    * know their components are shallow. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsStar(pairs, maxIters)
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014; the
+    * same public algorithm family behind GraphFrames' default CC).
+    * Round shape: each round is two edge rewrites over the canonical
+    * (big, small) edge set —
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum —
+    *
+    * each a (groupBy min + join + distinct) over narrow (long, long)
+    * rows, localCheckpointed so iterative lineage stays flat. The edge
+    * set monotonically contracts toward disjoint stars centered at each
+    * component's minimum id; convergence = edge-set fixpoint, detected
+    * distributed (count + except-limit-1, no collect). A depth-200
+    * chain converges in ~14 rounds (pinned in OpsSpec); 10⁵-node chains
+    * in ~2·17 (see ScaleSmoke). Non-convergence within `maxIters`
+    * fails loudly — truncated contraction would return wrong labels. */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    starRounds(pairs, maxIters)._1
+
+  /** [[connectedComponentsStar]] plus the round count it took (for tests
+    * and smoke stages that pin the O(log n) convergence bound). */
+  private[graft] def starRounds(pairs: DataFrame, maxIters: Int)
+      : (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    var cur = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("big"),
+        least(col("doc_a"), col("doc_b")).as("small"))
+      .filter(col("big") =!= col("small"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxIters)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge within $maxIters rounds; " +
+            "star contraction needs ~2·log2(component size) rounds — raise maxIters")
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // exact fixpoint test: both sides are distinct sets, so equal
+      // cardinality + empty one-sided difference ⇒ set equality
+      converged = next.count() == cur.count() &&
+        next.except(cur).limit(1).isEmpty
+      cur = next
+    }
+    // at the fixpoint the edge set is a disjoint union of stars rooted at
+    // each component's min id: every non-root node has exactly one edge
+    // (node, root). The min() is belt-and-braces, not load-bearing.
+    val roots = cur.groupBy(col("big").as("doc_id"))
+      .agg(min(col("small")).as("cluster_id"))
+    val labels = nodes.join(roots, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
+  }
+
+  /** Large-star rewrite: for each node u (over symmetrized edges), emit
+    * (v, min(Γ⁺(u))) for every neighbor v > u. Output stays canonical
+    * (big, small) since min ≤ u < v. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("big").as("u"), col("small").as("v"))
+      .unionByName(edges.select(col("small").as("u"), col("big").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("big"), col("m").as("small"))
+      .distinct()
+  }
+
+  /** Small-star rewrite: for each node u over its smaller neighbors N
+    * (edges arrive canonical big→small, so grouping by `big` IS the
+    * smaller-neighborhood view), emit (v, min(N)) for v ∈ N ∪ {u},
+    * v ≠ min(N). min(N) < u and min(N) < v, so output stays canonical. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("big").agg(min(col("small")).as("m"))
+    val leaves = edges.join(mins, "big")
+      .filter(col("small") =!= col("m"))
+      .select(col("small").as("big"), col("m").as("small"))
+    val centers = mins.select(col("big"), col("m").as("small"))
+    leaves.unionByName(centers).distinct()
+  }
+
+  /** Level-synchronous min-label propagation, like
+    * [[graft.job.Crawl.bfs]]: each iteration joins the (symmetrized)
+    * edges against current labels, takes the min label per node, and
+    * localCheckpoints so the iterative lineage stays flat. Iteration
+    * count = cluster diameter + 1 — fine for the shallow replica-fan
+    * graphs near-dup corpora usually produce, pathological for
+    * chain-shaped families (use [[connectedComponentsStar]], the
+    * default). The per-round shuffle carries only (node, label) longs;
+    * convergence is detected distributed (one `limit(1).count()` on the
+    * changed set — no label collect). */
+  def connectedComponentsMinLabel(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -125,7 +229,7 @@ object Dedup {
           // CONFIRMS no label moved), so size maxIters to the largest
           // expected component diameter plus one
           throw new IllegalStateException(
-            s"connectedComponents did not converge within $maxIters rounds; " +
+            s"connectedComponentsMinLabel did not converge within $maxIters rounds; " +
               "convergence needs component-diameter + 1 rounds — raise maxIters")
         val propagated = edges
           .join(labels, edges("src") === labels("doc_id"))

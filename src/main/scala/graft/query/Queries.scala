@@ -1522,9 +1522,10 @@ object Queries {
     * (singletons label themselves). This is the step a curation pipeline
     * needs between pairwise candidates and canonical selection: a≈b and
     * b≈c must collapse to one survivor even when a and c never pair
-    * directly. Spark side: level-synchronous min-label propagation
-    * ([[Dedup.connectedComponents]], BFS-shaped, per-round checkpoint,
-    * (node,label)-only shuffle). Oracle: the SAME pair set re-derived in
+    * directly. Spark side: alternating large-star/small-star contraction
+    * ([[Dedup.connectedComponents]] — O(log n) rounds independent of
+    * component diameter, per-round checkpoint, (long,long)-only
+    * shuffles). Oracle: the SAME pair set re-derived in
     * DuckDB, then a RECURSIVE label-reachability CTE — an independent CC
     * algorithm (reachability closure vs iterative relaxation). */
   private val xNeardupClusters = Q(

@@ -85,6 +85,22 @@ object ScaleSmoke {
     val nClusters = clusters.select("cluster_id").distinct().count()
     val nLabeled = clusters.count()
     println(s"SMOKE cc clusters: $nClusters over $nLabeled labeled docs")
+    // ---- deep-chain connected components: a 10⁵-node path graph (the
+    // worst case for diameter-bound label propagation — 10⁵+1 rounds
+    // there) must converge in ~2·log₂(n) star-contraction rounds
+    val chainN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_CHAIN", "100000").toLong
+    val chain = spark.range(chainN)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (chainLabels, chainRounds) = timed(s"star CC over a depth-$chainN chain")(
+      graft.ops.Dedup.starRounds(chain, maxIters = 80))
+    val chainClusters = chainLabels.select("cluster_id").distinct().count()
+    println(s"SMOKE chain CC: $chainRounds rounds (~2·log2 bound = " +
+      s"${2 * (math.log(chainN.toDouble) / math.log(2)).ceil.toInt}), " +
+      s"$chainClusters cluster(s)")
+    require(chainClusters == 1, "chain must collapse to one component")
+    require(chainRounds <= 2 * (math.log(chainN.toDouble) / math.log(2)).ceil.toInt + 2,
+      s"star contraction took $chainRounds rounds on a depth-$chainN chain")
+
     // ---- hot-bucket rate-limiter replay: one (ip, endpoint) bucket with
     // ~10⁶ requests (a bot hammering one endpoint — the workload a limiter
     // replay analyzes). The batch walk must stream it (external sort +

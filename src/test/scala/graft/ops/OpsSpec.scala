@@ -241,30 +241,48 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ivf recall $recall") // random vectors: worst case
   }
 
-  test("connected components collapse transitive near-dup chains") {
+  test("connected components collapse transitive near-dup chains (both algorithms)") {
     val s = spark; import s.implicits._
     // chain 1-2-3 (1≈2, 2≈3, but 1 never pairs with 3 directly),
     // separate pair 7-9, singleton edge-less docs absent from pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
-    // a longer path exercises multi-round propagation (diameter 5) and
-    // crosses a lineage-truncation checkpoint round (every 5th)
-    val chain = (0 until 6).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
-    val cc2 = Dedup.connectedComponents(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc2.values.toSet == Set(0L) && cc2.size == 7)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "operator must release every persisted generation")
-    // an iteration cap that would truncate propagation must fail loudly,
-    // never return partially-propagated (wrong) labels
-    val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 2)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    for (algo <- Seq(Dedup.connectedComponents(_: org.apache.spark.sql.DataFrame, 50),
+        Dedup.connectedComponentsMinLabel(_: org.apache.spark.sql.DataFrame, 50))) {
+      val cc = algo(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == expected)
+      // a longer path exercises multi-round behavior: min-label crosses a
+      // lineage-truncation checkpoint round (every 5th); star alternates
+      val chain = (0 until 6).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+      val cc2 = algo(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc2.values.toSet == Set(0L) && cc2.size == 7)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "operator must release every persisted generation")
     }
-    assert(ex.getMessage.contains("did not converge"))
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "the failure path must release caches too")
+    // an iteration cap that would truncate the contraction/propagation
+    // must fail loudly, never return partial (wrong) labels
+    val chain = (0 until 6).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    for (thunk <- Seq(
+        () => Dedup.connectedComponents(chain, maxIters = 1),
+        () => Dedup.connectedComponentsMinLabel(chain, maxIters = 2))) {
+      val ex = intercept[IllegalStateException](thunk())
+      assert(ex.getMessage.contains("did not converge"))
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "the failure path must release caches too")
+    }
+  }
+
+  test("star contraction converges in O(log n) rounds on a depth-200 chain") {
+    val s = spark; import s.implicits._
+    // min-label would need 201 rounds here; star needs ~2·log2(200) ≈ 15
+    val chain = (0 until 200).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.starRounds(chain, maxIters = 50)
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 201 && cc.values.toSet == Set(0L))
+    assert(rounds <= 16, s"star contraction took $rounds rounds on a depth-200 chain")
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("neardupClusters labels every doc; canonical = min id per cluster") {

@@ -40,7 +40,17 @@ object Caching {
 
   /** content.js:30-35 — JS `new Date(maxPublished).toUTCString()` render
     * of a timestamp column: "EEE, dd MMM yyyy HH:mm:ss GMT". Callers
-    * aggregate the max over their item set first; this renders it. */
+    * aggregate the max over their item set first; this renders it.
+    *
+    * JS toUTCString always renders the UTC wall clock, while Spark's
+    * `date_format` renders in the SESSION timezone — so the instant is
+    * first shifted with `to_utc_timestamp(ts, current_timezone())`,
+    * making the rendered fields the UTC ones under ANY session timezone
+    * (exact for UTC and fixed-offset zones; a DST-observing session zone
+    * can still be off by the offset delta for instants within one
+    * transition window of a DST switch — run UTC sessions, as every
+    * entry point in this repo pins, for exactness there too). */
   def toUtcString(ts: Column): Column =
-    concat(date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"), lit(" GMT"))
+    concat(date_format(to_utc_timestamp(ts, current_timezone()),
+      "EEE, dd MMM yyyy HH:mm:ss"), lit(" GMT"))
 }

@@ -73,14 +73,22 @@ object StreamOps {
     * timestamps) AND bucket count — a bucket idle past `ttlMs` of
     * processing time is evicted, mirroring the reference's stale-bucket
     * sweep (rate_limiter.py:133-144, `is_stale` after the 300 s cleanup
-    * interval). Eviction is EXACT, not lossy: a bucket whose 60 s window
-    * has drained is indistinguishable from fresh state, and `ttlMs` ≥ the
-    * window guarantees the window has drained in event time whenever
-    * arrival keeps rough pace with processing. Without it, web traffic's
-    * unbounded client-IP cardinality grows the state store monotonically
-    * forever. `ttlMs = 0` uses NoTimeout (deterministic tests — with a
-    * positive TTL the engine runs timer batches, so tests must poll the
-    * sink instead of `processAllAvailable()`). */
+    * interval). Eviction is EXACT, not lossy, whenever arrival keeps
+    * rough pace with processing: a bucket whose 60 s window has drained
+    * is indistinguishable from fresh state, and `ttlMs` ≥ the window
+    * guarantees event-time drain under that pacing assumption. When
+    * ingestion lags processing by more than `ttlMs`, an evicted bucket
+    * may still hold in-window timestamps and a re-created bucket would
+    * re-admit — that case is OBSERVABLE, not silent: every eviction of
+    * non-empty state increments the named accumulator
+    * `rateLimitDecisions.nonEmptyStateEvictions` (visible in the Spark
+    * UI / StreamingQueryProgress via accumulator metrics), so an
+    * operator alerting on it can tell lossy eviction from routine
+    * drained-bucket expiry. Without the TTL, web traffic's unbounded
+    * client-IP cardinality grows the state store monotonically forever.
+    * `ttlMs = 0` uses NoTimeout (deterministic tests — with a positive
+    * TTL the engine runs timer batches, so tests must poll the sink
+    * instead of `processAllAvailable()`). */
   def rateLimitDecisions(reqs: Dataset[graft.query.RateLimits.Req],
       ttlMs: Long = 300000L)
       : Dataset[graft.query.RateLimits.Decision] = {
@@ -88,12 +96,20 @@ object StreamOps {
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    val nonEmptyEvictions = reqs.sparkSession.sparkContext
+      .longAccumulator("rateLimitDecisions.nonEmptyStateEvictions")
     reqs.groupByKey(r => (r.ip, r.endpoint))
       .flatMapGroupsWithState[Seq[Long], graft.query.RateLimits.Decision](
         OutputMode.Append, timeout) {
         (_: (Long, String), batch: Iterator[graft.query.RateLimits.Req],
             state: GroupState[Seq[Long]]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          if (state.hasTimedOut) {
+            // timestamps still recorded at expiry ⇒ possibly-lossy evict
+            // (the 60 s window may not have drained in EVENT time if
+            // ingestion lags) — count it so it is observable
+            if (state.getOption.exists(_.nonEmpty)) nonEmptyEvictions.add(1)
+            state.remove(); Iterator.empty
+          }
           else {
             val q = scala.collection.mutable.ArrayDeque.from(
               state.getOption.getOrElse(Seq.empty))

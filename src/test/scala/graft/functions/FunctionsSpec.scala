@@ -142,5 +142,19 @@ class FunctionsSpec extends AnyFunSuite {
     val lm = df.limit(1).select(graft.query.Caching.toUtcString(
         lit("2025-01-15 10:00:00").cast("timestamp")).as("lm")).collect().head.getString(0)
     assert(lm == "Wed, 15 Jan 2025 10:00:00 GMT")
+    // JS toUTCString always renders UTC: the render must not drift when a
+    // library caller runs a non-UTC session timezone (the fixed-offset
+    // case is exact; see the operator's scaladoc for the DST caveat)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC+05:30")
+      // epoch seconds pin the INSTANT independent of the session zone
+      val lmOffset = Seq(1).toDF("x").select(graft.query.Caching.toUtcString(
+          org.apache.spark.sql.functions.expr(
+            "timestamp_seconds(1736935200)")) // 2025-01-15T10:00:00Z
+          .as("lm")).collect().head.getString(0)
+      assert(lmOffset == "Wed, 15 Jan 2025 10:00:00 GMT",
+        "toUtcString must render the UTC wall clock under a non-UTC session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }

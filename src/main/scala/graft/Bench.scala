@@ -204,6 +204,68 @@ object Bench {
     println(json)
 
     Files.createDirectories(Paths.get("BENCH"))
+    // the driver keeps only a stdout TAIL, which has truncated per-query
+    // values out of past BENCH_r{N}.json artifacts — persist the full
+    // line untruncated
+    Files.writeString(Paths.get("BENCH/last_run.json"), json + "\n")
+    // append this run's summary; BASELINE.md below reports the
+    // distribution across ALL recorded runs (single runs on this noisy
+    // host are not trustworthy — the committed artifact should carry the
+    // spread, not whichever run happened last)
+    val eff28 =
+      if (levels.contains(2) && levels.contains(8))
+        Some(((thr(8) / thr(2)) / 4.0, (med(8) / med(2)) / 4.0))
+      else None
+    val runRec =
+      s"""{"at_ms":${System.currentTimeMillis()},"pair":"${nSmall}x$n4",""" +
+      s""""eff_best":${f(efficiency)},"eff_median":${f((med(n4) / med(nSmall)) / 4.0)},""" +
+      eff28.map { case (b, m) => s""""eff28_best":${f(b)},"eff28_median":${f(m)},""" }.getOrElse("") +
+      s""""peak_turns_per_sec":${f(peakThr)},"queries_total_sec":${f(totalSec)},""" +
+      s""""spread_pct_small":${f(spreadPct(nSmall))},"spread_pct_big":${f(spreadPct(n4))}}"""
+    Files.write(Paths.get("BENCH/runs.jsonl"), (runRec + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    // cross-run distribution (jackson is on the Spark classpath)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val runs = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(Paths.get("BENCH/runs.jsonl"))).asScala
+      .filter(_.trim.nonEmpty).map(mapper.readTree).toSeq
+    def runsOf(field: String): Seq[Double] =
+      runs.filter(_.has(field)).map(_.get(field).asDouble())
+    def dist(field: String): String = {
+      val v = runsOf(field)
+      if (v.isEmpty) "n/a"
+      else f"min ${v.min}%.3f / median ${median(v)}%.3f / max ${v.max}%.3f"
+    }
+    val okBoth = runs.count(r => r.has("eff28_best") &&
+      r.get("eff28_best").asDouble() >= 0.8 && r.get("eff28_median").asDouble() >= 0.8)
+    val runRows = runs.map { r =>
+      val e28 = if (r.has("eff28_best"))
+        f"${r.get("eff28_best").asDouble()}%.3f / ${r.get("eff28_median").asDouble()}%.3f"
+        else "-"
+      s"| ${r.get("at_ms").asLong()} | ${r.get("pair").asText()} | " +
+      f"${r.get("eff_best").asDouble()}%.3f / ${r.get("eff_median").asDouble()}%.3f | $e28 | " +
+      f"${r.get("peak_turns_per_sec").asDouble()}%.0f | ${r.get("queries_total_sec").asDouble()}%.1f | " +
+      f"${r.get("spread_pct_small").asDouble()}%.0f%%/${r.get("spread_pct_big").asDouble()}%.0f%% |"
+    }.mkString("\n")
+    val distributionBlock =
+      s"""## Cross-run distribution (${runs.size} run(s) in BENCH/runs.jsonl)
+         |
+         |Every `graft.Bench` run appends its summary to `BENCH/runs.jsonl`;
+         |this section aggregates ALL recorded runs so the committed
+         |artifact carries the distribution, not whichever run landed last.
+         |Delete `BENCH/runs.jsonl` when the measured code changes — the
+         |distribution is only meaningful within one code state.
+         |
+         || run (epoch ms) | headline pair | eff best/median | 2→8 best/median | peak turns/s | queries total s | rep spread (n/4n) |
+         ||---|---|---|---|---|---|---|
+         |$runRows
+         |
+         |Across runs: 2→8 efficiency best-of-reps ${dist("eff28_best")};
+         |median-of-reps ${dist("eff28_median")}; peak turns/s
+         |${dist("peak_turns_per_sec")}; query-surface total
+         |${dist("queries_total_sec")} s. $okBoth/${runs.size} runs clear
+         |the ≥0.8 target on BOTH 2→8 estimators.
+         |""".stripMargin
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
       s"""# BENCH — measured throughput + scaling (graft.Bench)
          |
@@ -267,7 +329,10 @@ object Bench {
          |8→32 number measures the machine, not the code. The N→4N criterion
          |is evidenced by the 2→8 pair, which is below the saturation knee.
          |
-         |Per-query seconds: see BENCH_r{N}.json `queries`.
-         |""".stripMargin)
+         |Per-query seconds: see BENCH/last_run.json `queries` (the full
+         |JSON line — BENCH_r{N}.json may hold only a truncated stdout
+         |tail).
+         |
+         |""".stripMargin + distributionBlock)
   }
 }

@@ -156,6 +156,27 @@ class PlanSpec extends AnyFunSuite {
       "expected partial HashAggregate above the exchange:\n" + p.take(1500))
   }
 
+  test("batch limiter walk streams: partition-local sort, no grouped materialization") {
+    val s = spark; import s.implicits._
+    val reqs = spark.range(100).select(
+        pmod(col("id"), lit(3)).as("ip"), lit("/openfeeder").as("endpoint"),
+        col("id").as("sec"), col("id").as("event_id"), lit(5).as("limit_rpm"))
+      .as[RateLimits.Req]
+    val p = RateLimits.simulate(reqs).queryExecution.executedPlan.toString
+    // bucket distribution = one hash exchange on the bucket key…
+    assert(p.contains("Exchange hashpartitioning(ip"), p.take(1500))
+    // …then a PARTITION-LOCAL external sort (global=false ⇒ spillable,
+    // no second exchange) feeding the streaming mapPartitions walk
+    assert(p.contains("Sort [ip") && p.contains("false, 0"),
+      "expected a partition-local Sort:\n" + p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a global sort would add a range shuffle:\n" + p.take(1500))
+    // the round-4 shape (groupByKey + flatMapGroups) materialized each
+    // bucket in one task's heap — that operator must be gone
+    assert(!p.contains("FlatMapGroups"),
+      "hot buckets must stream, not materialize per-group:\n" + p.take(1500))
+  }
+
   test("library dedup/fingerprint operators carry no sort (ordering is the query layer's)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -247,25 +247,23 @@ object Bench {
       f"${r.get("peak_turns_per_sec").asDouble()}%.0f | ${r.get("queries_total_sec").asDouble()}%.1f | " +
       f"${r.get("spread_pct_small").asDouble()}%.0f%%/${r.get("spread_pct_big").asDouble()}%.0f%% |"
     }.mkString("\n")
+    // plain concatenation, NOT stripMargin: generated markdown table rows
+    // begin with '|', which stripMargin would eat
     val distributionBlock =
-      s"""## Cross-run distribution (${runs.size} run(s) in BENCH/runs.jsonl)
-         |
-         |Every `graft.Bench` run appends its summary to `BENCH/runs.jsonl`;
-         |this section aggregates ALL recorded runs so the committed
-         |artifact carries the distribution, not whichever run landed last.
-         |Delete `BENCH/runs.jsonl` when the measured code changes — the
-         |distribution is only meaningful within one code state.
-         |
-         || run (epoch ms) | headline pair | eff best/median | 2→8 best/median | peak turns/s | queries total s | rep spread (n/4n) |
-         ||---|---|---|---|---|---|---|
-         |$runRows
-         |
-         |Across runs: 2→8 efficiency best-of-reps ${dist("eff28_best")};
-         |median-of-reps ${dist("eff28_median")}; peak turns/s
-         |${dist("peak_turns_per_sec")}; query-surface total
-         |${dist("queries_total_sec")} s. $okBoth/${runs.size} runs clear
-         |the ≥0.8 target on BOTH 2→8 estimators.
-         |""".stripMargin
+      s"## Cross-run distribution (${runs.size} run(s) in BENCH/runs.jsonl)\n\n" +
+      "Every `graft.Bench` run appends its summary to `BENCH/runs.jsonl`;\n" +
+      "this section aggregates ALL recorded runs so the committed\n" +
+      "artifact carries the distribution, not whichever run landed last.\n" +
+      "Delete `BENCH/runs.jsonl` when the measured code changes — the\n" +
+      "distribution is only meaningful within one code state.\n\n" +
+      "| run (epoch ms) | headline pair | eff best/median | 2→8 best/median | peak turns/s | queries total s | rep spread (n/4n) |\n" +
+      "|---|---|---|---|---|---|---|\n" +
+      runRows + "\n\n" +
+      s"""Across runs: 2→8 efficiency best-of-reps ${dist("eff28_best")};\n""" +
+      s"""median-of-reps ${dist("eff28_median")}; peak turns/s\n""" +
+      s"""${dist("peak_turns_per_sec")}; query-surface total\n""" +
+      s"""${dist("queries_total_sec")} s. $okBoth/${runs.size} runs clear\n""" +
+      "the ≥0.8 target on BOTH 2→8 estimators.\n"
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
       s"""# BENCH — measured throughput + scaling (graft.Bench)
          |

@@ -710,6 +710,55 @@ object Queries {
       WHERE last_checked IS NOT NULL AND last_checked >= 300
       ORDER BY ip, endpoint"""))
 
+  /** `GET /admin/quota?ip=X` — the single-IP mode of `get_quota`
+    * (rate_limiter.py:219-245) — replicated QUIRKS AND ALL: it probes the
+    * four LITERAL bucket keys `"{ip}:discover|search|sync|webhook"`, but
+    * real buckets are keyed by the full request path
+    * (`check_rate_limit`'s `f"{ip}:{endpoint}"` with endpoint =
+    * "/openfeeder?q=term" etc.), so the literal keys never exist and
+    * every entry takes the bucket-absent branch: count 0, remaining =
+    * limit, percent_used 0.0. On top, `_get_endpoint_limit` is applied
+    * to the literal NAME: "sync"/"webhook" substring-match their
+    * classes, but "discover" (no ".well-known") and "search" (no "?q=")
+    * fall through to the DEFAULT limit — the per-IP view reports the
+    * wrong limit for those two classes. The limits here derive from the
+    * REAL classifier ([[RateLimits.endpointLimit]] on the literal), not
+    * hand-coded, so the quirk is reproduced by construction; with this
+    * synthesis's config the visible symptom is search showing limit 4
+    * (default) instead of its actual 2. */
+  private val xQuotaIpView = Q(
+    (s, dir) => {
+      val cfg = RateLimits.Config(defaultRpm = 4, searchRpm = 2,
+        discoverRpm = 4, syncRpm = 3, webhookRpm = 1)
+      rateLimitRequests(s, dir).select("ip").distinct()
+        .select(col("ip"),
+          explode(typedlit(Seq("discover", "search", "sync", "webhook")))
+            .as("endpoint"))
+        .select(col("ip"), col("endpoint"),
+          lit(0L).as("count"),
+          RateLimits.endpointLimit(col("endpoint"), cfg).cast("int").as("limit_rpm"))
+        .withColumn("remaining", col("limit_rpm").cast("long"))
+        .withColumn("percent_used", lit(0.0))
+        .orderBy("ip", "endpoint")
+    },
+    Some("""SELECT ip, endpoint, CAST(0 AS BIGINT) AS "count",
+        CAST(CASE WHEN contains(endpoint, '?q=') THEN 2
+          WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
+          WHEN contains(split_part(endpoint, '?', 1), 'webhook')
+            OR contains(split_part(endpoint, '?', 1), 'update') THEN 1
+          WHEN contains(split_part(endpoint, '?', 1), 'sync') THEN 3
+          ELSE 4 END AS INT) AS limit_rpm,
+        CAST(CASE WHEN contains(endpoint, '?q=') THEN 2
+          WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
+          WHEN contains(split_part(endpoint, '?', 1), 'webhook')
+            OR contains(split_part(endpoint, '?', 1), 'update') THEN 1
+          WHEN contains(split_part(endpoint, '?', 1), 'sync') THEN 3
+          ELSE 4 END AS BIGINT) AS remaining,
+        0.0 AS percent_used
+      FROM (SELECT DISTINCT user_id % 20 AS ip FROM events)
+      CROSS JOIN (SELECT unnest(['discover', 'search', 'sync', 'webhook']) AS endpoint)
+      ORDER BY ip, endpoint"""))
+
   /** The admin-key gate for the `/admin` endpoints — `_check_admin_auth`
     * (main.py:799-815): with no RATE_LIMIT_ADMIN_KEY configured, every
     * admin call answers 403 "Admin endpoints are disabled" (the endpoints
@@ -2451,6 +2500,7 @@ object Queries {
     "a9_quota_view" -> a9QuotaView,
     "x_admin_auth" -> xAdminAuth,
     "x_quota_reset" -> xQuotaReset,
+    "x_quota_ip_view" -> xQuotaIpView,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,

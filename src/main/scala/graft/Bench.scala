@@ -226,9 +226,18 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     // cross-run distribution (jackson is on the Spark classpath)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a truncated line (process killed mid-append) or a legacy-format
+    // record must not crash the artifact write AFTER a ~30 min
+    // measurement — skip anything unparsable or missing required fields
+    val requiredFields = Seq("at_ms", "pair", "eff_best", "eff_median",
+      "peak_turns_per_sec", "queries_total_sec", "spread_pct_small",
+      "spread_pct_big")
     val runs = scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(Paths.get("BENCH/runs.jsonl"))).asScala
-      .filter(_.trim.nonEmpty).map(mapper.readTree).toSeq
+      .filter(_.trim.nonEmpty)
+      .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
+      .filter(r => requiredFields.forall(r.has))
+      .toSeq
     def runsOf(field: String): Seq[Double] =
       runs.filter(_.has(field)).map(_.get(field).asDouble())
     def dist(field: String): String = {

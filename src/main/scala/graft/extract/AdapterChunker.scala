@@ -117,19 +117,24 @@ object AdapterChunker {
 
   /** PHP `str_word_count($s)` (C locale, no extra charlist): scans for
     * tokens of `[A-Za-z'-]`, where a token may start at `'`/`-` only when
-    * not at position 0 of the string — so digits never contribute
-    * ("Chapter 22" counts 1) and a bare "--" mid-string counts as a word.
+    * not at position 0 of the string, and a trailing `-` as the LAST
+    * character of the string is excluded before the scan (`e--` in the C
+    * source) — so digits never contribute ("Chapter 22" counts 1), a bare
+    * "--" mid-string counts as a word, and "ab -" counts 1, not 2.
     * Transliterated from ext/standard/string.c `php_str_word_count`. */
   private[extract] def phpStrWordCount(s: String): Int = {
     @inline def isAlpha(c: Char) =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     @inline def isWordChar(c: Char) = isAlpha(c) || c == '\'' || c == '-'
+    // "the last character cannot be -": one trailing hyphen is trimmed
+    val end = if (s.nonEmpty && s.charAt(s.length - 1) == '-') s.length - 1
+      else s.length
     var i = 0; var count = 0
-    while (i < s.length) {
+    while (i < end) {
       val c = s.charAt(i)
       if (isAlpha(c) || ((c == '\'' || c == '-') && i != 0)) {
         count += 1
-        while (i < s.length && isWordChar(s.charAt(i))) i += 1
+        while (i < end && isWordChar(s.charAt(i))) i += 1
       } else i += 1
     }
     count

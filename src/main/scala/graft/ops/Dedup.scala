@@ -139,7 +139,8 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var rounds = 0
-    var converged = cur.isEmpty
+    var curCount = cur.count()
+    var converged = curCount == 0
     while (!converged) {
       rounds += 1
       if (rounds > maxIters)
@@ -148,9 +149,12 @@ object Dedup {
             "star contraction needs ~2·log2(component size) rounds — raise maxIters")
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       // exact fixpoint test: both sides are distinct sets, so equal
-      // cardinality + empty one-sided difference ⇒ set equality
-      converged = next.count() == cur.count() &&
-        next.except(cur).limit(1).isEmpty
+      // cardinality + empty one-sided difference ⇒ set equality (the
+      // previous round's count is carried, not recomputed — one count
+      // job per round, not two)
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.except(cur).limit(1).isEmpty
+      curCount = nextCount
       cur = next
     }
     // at the fixpoint the edge set is a disjoint union of stars rooted at

@@ -599,7 +599,11 @@ object Queries {
 
   /** The matching DuckDB decision-log SELECT (no final ORDER BY) —
     * shared by the a6 oracle and the a9 quota-view oracle. */
-  private def rateLimitDecisionsSql: String = """WITH RECURSIVE keyed AS (
+  /** The DuckDB mirror of [[rateLimitRequests]]' banded synthesis
+    * (`keyed` + `reqs` CTE bodies) — ONE copy, interpolated into every
+    * limiter oracle so the request log can never drift between a6/a9
+    * and x_quota_reset. */
+  private val rateLimitRequestsSqlCtes: String = """keyed AS (
         SELECT ip, endpoint,
           CAST(CASE WHEN ip < 3 THEN base % 250
             WHEN ip < 5 THEN 601 + base % 500
@@ -622,7 +626,9 @@ object Queries {
               ORDER BY sec, event_id) AS rn
           FROM keyed)
         WHERE rn <= 40
-      ), lim AS (
+      )"""
+
+  private def rateLimitDecisionsSql: String = s"""WITH RECURSIVE $rateLimitRequestsSqlCtes, lim AS (
         SELECT *, CASE WHEN contains(endpoint, '?q=') THEN 2
           WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
           WHEN contains(split_part(endpoint, '?', 1), 'webhook')
@@ -742,21 +748,19 @@ object Queries {
         .orderBy("ip", "endpoint")
     },
     Some("""SELECT ip, endpoint, CAST(0 AS BIGINT) AS "count",
-        CAST(CASE WHEN contains(endpoint, '?q=') THEN 2
-          WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
-          WHEN contains(split_part(endpoint, '?', 1), 'webhook')
-            OR contains(split_part(endpoint, '?', 1), 'update') THEN 1
-          WHEN contains(split_part(endpoint, '?', 1), 'sync') THEN 3
-          ELSE 4 END AS INT) AS limit_rpm,
-        CAST(CASE WHEN contains(endpoint, '?q=') THEN 2
-          WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
-          WHEN contains(split_part(endpoint, '?', 1), 'webhook')
-            OR contains(split_part(endpoint, '?', 1), 'update') THEN 1
-          WHEN contains(split_part(endpoint, '?', 1), 'sync') THEN 3
-          ELSE 4 END AS BIGINT) AS remaining,
+        CAST(lim AS INT) AS limit_rpm,
+        CAST(lim AS BIGINT) AS remaining,
         0.0 AS percent_used
-      FROM (SELECT DISTINCT user_id % 20 AS ip FROM events)
-      CROSS JOIN (SELECT unnest(['discover', 'search', 'sync', 'webhook']) AS endpoint)
+      FROM (
+        SELECT ip, endpoint,
+          CASE WHEN contains(endpoint, '?q=') THEN 2
+            WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4
+            WHEN contains(split_part(endpoint, '?', 1), 'webhook')
+              OR contains(split_part(endpoint, '?', 1), 'update') THEN 1
+            WHEN contains(split_part(endpoint, '?', 1), 'sync') THEN 3
+            ELSE 4 END AS lim
+        FROM (SELECT DISTINCT user_id % 20 AS ip FROM events)
+        CROSS JOIN (SELECT unnest(['discover', 'search', 'sync', 'webhook']) AS endpoint))
       ORDER BY ip, endpoint"""))
 
   /** The admin-key gate for the `/admin` endpoints — `_check_admin_auth`
@@ -866,30 +870,7 @@ object Queries {
           round(lit(100.0) * col("n_in_window") / col("limit_rpm"), 1).as("percent_used"))
         .orderBy("ip", "endpoint")
     },
-    Some("""WITH RECURSIVE keyed AS (
-        SELECT ip, endpoint,
-          CAST(CASE WHEN ip < 3 THEN base % 250
-            WHEN ip < 5 THEN 601 + base % 500
-            WHEN ip < 8 THEN 310 + base % 250
-            WHEN ip < 14 THEN 480 + base % 120
-            ELSE base END AS BIGINT) AS sec,
-          event_id
-        FROM (
-          SELECT user_id % 20 AS ip,
-            CASE event_id % 5 WHEN 0 THEN '/openfeeder?q=term'
-              WHEN 1 THEN '/openfeeder/sync' WHEN 2 THEN '/webhook/update'
-              WHEN 3 THEN '/.well-known/openfeeder.json' ELSE '/openfeeder' END AS endpoint,
-            (event_id * 7) % 1200 AS base,
-            event_id
-          FROM events)
-      ), reqs AS (
-        SELECT * FROM (
-          SELECT ip, endpoint, sec, event_id,
-            row_number() OVER (PARTITION BY ip, endpoint
-              ORDER BY sec, event_id) AS rn
-          FROM keyed)
-        WHERE rn <= 40
-      ), lim AS (
+    Some(s"""WITH RECURSIVE $rateLimitRequestsSqlCtes, lim AS (
         SELECT ip, endpoint, sec, event_id,
           CASE WHEN contains(endpoint, '?q=') THEN 2
             WHEN contains(split_part(endpoint, '?', 1), '.well-known') THEN 4

@@ -79,12 +79,16 @@ object StreamOps {
     * guarantees event-time drain under that pacing assumption. When
     * ingestion lags processing by more than `ttlMs`, an evicted bucket
     * may still hold in-window timestamps and a re-created bucket would
-    * re-admit — that case is OBSERVABLE, not silent: every eviction of
-    * non-empty state increments the named accumulator
-    * `rateLimitDecisions.nonEmptyStateEvictions` (visible in the Spark
-    * UI / StreamingQueryProgress via accumulator metrics), so an
-    * operator alerting on it can tell lossy eviction from routine
-    * drained-bucket expiry. Without the TTL, web traffic's unbounded
+    * re-admit — that case is OBSERVABLE, not silent: evictions of
+    * non-empty state increment the named accumulator
+    * `rateLimitDecisions.nonEmptyStateEvictions`. Read it from the
+    * driver-side handle or the Spark UI's stage accumulator tables (it
+    * is NOT a StreamingQueryProgress field), and treat it as a
+    * should-be-zero SIGNAL rather than an exact meter — accumulator
+    * updates inside a transformation re-apply on task retries, so it
+    * can over-count under failures (never under-count). A nonzero value
+    * distinguishes possibly-lossy eviction from routine drained-bucket
+    * expiry. Without the TTL, web traffic's unbounded
     * client-IP cardinality grows the state store monotonically forever.
     * `ttlMs = 0` uses NoTimeout (deterministic tests — with a positive
     * TTL the engine runs timer batches, so tests must poll the sink

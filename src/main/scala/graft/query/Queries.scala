@@ -685,8 +685,9 @@ object Queries {
     * deterministic fixpoint "a sweep ran immediately before the
     * snapshot" — the only phase-independent semantics a log-derived
     * replay can state. */
-  private val a9QuotaView = Q(
-    (s, dir) => {
+  /** The alive-bucket quota view at snapshot t = 600 (unordered) —
+    * shared by a9 and the x_quota_envelope composition. */
+  private def quotaView(s: SparkSession, dir: String): DataFrame = {
       val t = 600L
       rateLimitDecisions(s, dir)
         .groupBy("ip", "endpoint", "limit_rpm")
@@ -700,9 +701,11 @@ object Queries {
           col("limit_rpm"),
           greatest(col("limit_rpm") - col("n_in_window"), lit(0L)).as("remaining"),
           round(lit(100.0) * col("n_in_window") / col("limit_rpm"), 1).as("percent_used"))
-        .orderBy("ip", "endpoint")
-    },
-    Some(s"""SELECT ip, endpoint, n_in_window, limit_rpm,
+  }
+
+  /** The matching DuckDB view SELECT (no final ORDER BY) — shared by the
+    * a9 oracle and the envelope oracle. */
+  private def quotaViewSql: String = s"""SELECT ip, endpoint, n_in_window, limit_rpm,
         CAST(greatest(limit_rpm - n_in_window, 0) AS BIGINT) AS remaining,
         round(100.0 * n_in_window / limit_rpm, 1) AS percent_used
       FROM (
@@ -713,8 +716,11 @@ object Queries {
         FROM ($rateLimitDecisionsSql)
         GROUP BY ip, endpoint, limit_rpm
       )
-      WHERE last_checked IS NOT NULL AND last_checked >= 300
-      ORDER BY ip, endpoint"""))
+      WHERE last_checked IS NOT NULL AND last_checked >= 300"""
+
+  private val a9QuotaView = Q(
+    (s, dir) => quotaView(s, dir).orderBy("ip", "endpoint"),
+    Some(s"$quotaViewSql\n      ORDER BY ip, endpoint"))
 
   /** `GET /admin/quota?ip=X` — the single-IP mode of `get_quota`
     * (rate_limiter.py:219-245) — replicated QUIRKS AND ALL: it probes the
@@ -762,6 +768,61 @@ object Queries {
         FROM (SELECT DISTINCT user_id % 20 AS ip FROM events)
         CROSS JOIN (SELECT unnest(['discover', 'search', 'sync', 'webhook']) AS endpoint))
       ORDER BY ip, endpoint"""))
+
+  /** The full `GET /admin/quota` (all-IPs) response body — `get_quota`'s
+    * summary mode (rate_limiter.py:252-281) wrapped in the endpoint
+    * envelope (main.py:816-835): `{"status":"ok","quota":{"total_ips":N,
+    * "total_buckets":M,"ips":{ip:{endpoint:{count,limit,remaining,
+    * percent_used}}}}}` where total_buckets counts every bucket alive in
+    * the map at the snapshot (the a9 existence rule) and total_ips the
+    * distinct ips among them. Two documented deltas: the reference's
+    * `timestamp` field (wall-clock `datetime.now()`) is omitted — a
+    * log-derived replay has no wall clock; and object keys render in
+    * canonical sorted order, where Python dicts iterate in bucket
+    * INSERTION order — process history that is sweep-phase-dependent
+    * once buckets get evicted and re-created, hence not exactly
+    * derivable from the log. Per-bucket numbers, bucket membership, and
+    * both totals are exact. */
+  private val xQuotaEnvelope = Q(
+    (s, dir) => {
+      val v = quotaView(s, dir)
+      val bucketJson = concat(
+        lit("\""), col("endpoint"), lit("\":{\"count\":"), col("n_in_window"),
+        lit(",\"limit\":"), col("limit_rpm"), lit(",\"remaining\":"), col("remaining"),
+        lit(",\"percent_used\":"), col("percent_used").cast("string"), lit("}"))
+      val perIp = v
+        .select(col("ip"), struct(col("endpoint"), bucketJson.as("j")).as("e"))
+        .groupBy("ip")
+        .agg(concat(lit("\""), col("ip"), lit("\":{"),
+          array_join(transform(array_sort(collect_list(col("e"))),
+            x => x.getField("j")), ","),
+          lit("}")).as("ipj"))
+      val totals = v.agg(count(lit(1)).as("total_buckets"),
+        countDistinct(col("ip")).as("total_ips"))
+      val ips = perIp.agg(
+        array_join(transform(array_sort(collect_list(struct(col("ip"), col("ipj")))),
+          x => x.getField("ipj")), ",").as("ips_json"))
+      totals.crossJoin(ips).select(concat(
+        lit("{\"status\":\"ok\",\"quota\":{\"total_ips\":"), col("total_ips"),
+        lit(",\"total_buckets\":"), col("total_buckets"),
+        lit(",\"ips\":{"), col("ips_json"), lit("}}}")).as("quota_envelope"))
+    },
+    Some(s"""WITH v AS ($quotaViewSql),
+      per_ip AS (
+        SELECT ip, '"' || CAST(ip AS VARCHAR) || '":{' ||
+          string_agg('"' || endpoint || '":{"count":' || CAST(n_in_window AS VARCHAR) ||
+            ',"limit":' || CAST(limit_rpm AS VARCHAR) ||
+            ',"remaining":' || CAST(remaining AS VARCHAR) ||
+            ',"percent_used":' || CAST(percent_used AS VARCHAR) || '}',
+            ',' ORDER BY endpoint) || '}' AS ipj
+        FROM v GROUP BY ip
+      )
+      SELECT '{"status":"ok","quota":{"total_ips":' ||
+        CAST((SELECT count(*) FROM per_ip) AS VARCHAR) ||
+        ',"total_buckets":' || CAST((SELECT count(*) FROM v) AS VARCHAR) ||
+        ',"ips":{' ||
+        COALESCE((SELECT string_agg(ipj, ',' ORDER BY ip) FROM per_ip), '') ||
+        '}}}' AS quota_envelope"""))
 
   /** The admin-key gate for the `/admin` endpoints — `_check_admin_auth`
     * (main.py:799-815): with no RATE_LIMIT_ADMIN_KEY configured, every
@@ -2482,6 +2543,7 @@ object Queries {
     "x_admin_auth" -> xAdminAuth,
     "x_quota_reset" -> xQuotaReset,
     "x_quota_ip_view" -> xQuotaIpView,
+    "x_quota_envelope" -> xQuotaEnvelope,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,

@@ -769,6 +769,145 @@ object Queries {
         CROSS JOIN (SELECT unnest(['discover', 'search', 'sync', 'webhook']) AS endpoint))
       ORDER BY ip, endpoint"""))
 
+  /** The webhook auth gate — `_check_webhook_auth` (main.py:660-670),
+    * the THIRD distinct auth matrix in the reference next to the express
+    * API-key gate (x_auth_gate, 401 envelope) and the admin gate
+    * (x_admin_auth, 403 when unconfigured): with NO webhook secret
+    * configured the check passes silently (auth disabled — the opposite
+    * of the admin gate's disabled-403), otherwise missing/non-Bearer →
+    * 401 "Missing Bearer token", wrong secret → 403 "Invalid webhook
+    * secret", exact secret → pass (status null here: the request
+    * proceeds into the handler). */
+  private val xWebhookAuth = Q(
+    (s, dir) => {
+      val secret = "whk-secret"
+      val configured = pmod(col("doc_id"), lit(4)) =!= 3
+      val m6 = pmod(col("doc_id"), lit(6))
+      val header = when(m6 === 0, s"Bearer $secret")
+        .when(m6 === 1, "Bearer wrong-secret")
+        .when(m6 === 2, lit(null).cast("string"))
+        .when(m6 === 3, s"Basic $secret")
+        .when(m6 === 4, s"bearer $secret")
+        .otherwise(lit("Bearer"))
+      val notBearer = col("auth_header").isNull ||
+        !col("auth_header").startsWith("Bearer ")
+      val badSecret = substring(col("auth_header"), 8, Int.MaxValue) =!= secret
+      rd(s, dir, "documents")
+        .select(col("doc_id"), configured.as("secret_configured"),
+          header.as("auth_header"))
+        .withColumn("status_code",
+          when(!col("secret_configured"), lit(null).cast("int")) // auth disabled: pass
+            .when(notBearer, 401)
+            .when(badSecret, 403))
+        .withColumn("detail",
+          when(col("status_code") === 401, "Missing Bearer token")
+            .when(col("status_code") === 403, "Invalid webhook secret"))
+        .withColumn("body", when(col("status_code").isNotNull,
+          to_json(struct(col("detail").as("detail")))))
+        .drop("detail")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, secret_configured, auth_header, status_code,
+        CASE WHEN status_code IS NOT NULL THEN to_json(struct_pack(detail := detail)) END AS body
+      FROM (
+        SELECT *,
+          CASE WHEN NOT secret_configured THEN NULL
+               WHEN auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ') THEN 401
+               WHEN substr(auth_header, 8) <> 'whk-secret' THEN 403
+               END AS status_code,
+          CASE WHEN secret_configured AND (auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ')) THEN 'Missing Bearer token'
+               WHEN secret_configured AND substr(auth_header, 8) <> 'whk-secret' THEN 'Invalid webhook secret'
+               END AS detail
+        FROM (
+          SELECT doc_id, doc_id % 4 <> 3 AS secret_configured,
+            CASE doc_id % 6 WHEN 0 THEN 'Bearer whk-secret'
+              WHEN 1 THEN 'Bearer wrong-secret'
+              WHEN 3 THEN 'Basic whk-secret'
+              WHEN 4 THEN 'bearer whk-secret'
+              WHEN 5 THEN 'Bearer' END AS auth_header
+          FROM documents))
+      ORDER BY doc_id"""))
+
+  /** `POST /openfeeder/update` response envelopes (main.py:723-763 +
+    * `_process_update` :673-720): per batch, ≤10 urls (INLINE_LIMIT)
+    * process inline → `status "ok"`, processed = per-url successes,
+    * errors = the input-ordered `"{full_url}: HTTP {status}"` strings
+    * for failed upsert fetches; >10 urls queue as a background task →
+    * `status "queued"`, processed 0, empty errors (the real counts are
+    * never reported). full_url joins `SITE_URL.rstrip("/") + "/" +
+    * relative.lstrip("/")` — both strips exercised by the synthesis
+    * (SITE_URL carries a trailing slash, a third of the relatives a
+    * leading one). Deletes always count processed (the indexer delete
+    * path has no failure branch short of an exception); upsert failures
+    * are the ≥400 fetch statuses, synthesized deterministically. */
+  private val xUpdateEnvelope = Q(
+    (s, dir) => {
+      // SITE_URL = "https://example.com/" -> rstrip("/") precomputed
+      val base = "https://example.com"
+      val rel = concat(when(pmod(col("doc_id"), lit(3)) === 0, "/").otherwise(""),
+        lit("blog/post-"), col("doc_id"))
+      val fullUrl = concat(lit(base), lit("/"), regexp_replace(rel, "^/+", ""))
+      val fetchStatus = when(pmod(col("doc_id"), lit(7)) === 0, 404)
+        .when(pmod(col("doc_id"), lit(11)) === 1, 503)
+        .otherwise(200)
+      // batch sizes are WIDTH-controlled, not count-controlled, so both
+      // response shapes exist at every SF: even docs land in 8-wide
+      // slots (~4 urls → inline "ok"), odd docs in 30-wide slots
+      // (~15 urls → "queued")
+      val batch = when(pmod(col("doc_id"), lit(2)) === 0,
+          floor(col("doc_id") / 8).cast("long"))
+        .otherwise(lit(1000L) + floor(col("doc_id") / 30).cast("long"))
+      val rows = rd(s, dir, "documents").select(
+          col("doc_id"), batch.as("batch_id"))
+        .withColumn("action",
+          when(pmod(col("batch_id"), lit(3)) === 0, "delete").otherwise("upsert"))
+        .withColumn("ok",
+          col("action") === "delete" || fetchStatus < 400)
+        .withColumn("err", when(col("action") === "upsert" && fetchStatus >= 400,
+          concat(fullUrl, lit(": HTTP "), fetchStatus)))
+      val errStructs = array_sort(collect_list(
+        when(col("err").isNotNull, struct(col("doc_id"), col("err").as("e")))))
+      rows.groupBy("batch_id", "action")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          errStructs.as("errs"))
+        .select(col("batch_id"), col("action"), col("n_urls"),
+          when(col("n_urls") <= 10, "ok").otherwise("queued").as("status"),
+          when(col("n_urls") <= 10, col("n_ok")).otherwise(0L).as("processed"),
+          // serialized: the driver's comparator hashes scalar columns
+          to_json(when(col("n_urls") <= 10,
+              transform(col("errs"), x => x.getField("e")))
+            .otherwise(typedlit(Seq.empty[String]))).as("errors"))
+        .orderBy("batch_id")
+    },
+    Some("""SELECT batch_id, action, n_urls,
+        CASE WHEN n_urls <= 10 THEN 'ok' ELSE 'queued' END AS status,
+        CASE WHEN n_urls <= 10 THEN n_ok ELSE 0 END AS processed,
+        to_json(CASE WHEN n_urls <= 10 THEN COALESCE(errs, CAST([] AS VARCHAR[]))
+          ELSE CAST([] AS VARCHAR[]) END) AS errors
+      FROM (
+        SELECT batch_id, action, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+          list(err ORDER BY doc_id) FILTER (WHERE err IS NOT NULL) AS errs
+        FROM (
+          SELECT doc_id, batch_id,
+            CASE WHEN batch_id % 3 = 0 THEN 'delete' ELSE 'upsert' END AS action,
+            CASE WHEN batch_id % 3 = 0 THEN TRUE ELSE fetch_status < 400 END AS ok,
+            CASE WHEN batch_id % 3 <> 0 AND fetch_status >= 400
+              THEN full_url || ': HTTP ' || CAST(fetch_status AS VARCHAR) END AS err
+          FROM (
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id // 8
+                ELSE 1000 + doc_id // 30 END AS BIGINT) AS batch_id,
+              'https://example.com' || '/' ||
+                regexp_replace(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                  || 'blog/post-' || CAST(doc_id AS VARCHAR), '^/+', '') AS full_url,
+              CASE WHEN doc_id % 7 = 0 THEN 404
+                WHEN doc_id % 11 = 1 THEN 503 ELSE 200 END AS fetch_status
+            FROM documents))
+        GROUP BY batch_id, action)
+      ORDER BY batch_id"""))
+
   /** The full `GET /admin/quota` (all-IPs) response body — `get_quota`'s
     * summary mode (rate_limiter.py:252-281) wrapped in the endpoint
     * envelope (main.py:816-835): `{"status":"ok","quota":{"total_ips":N,
@@ -2544,6 +2683,8 @@ object Queries {
     "x_quota_reset" -> xQuotaReset,
     "x_quota_ip_view" -> xQuotaIpView,
     "x_quota_envelope" -> xQuotaEnvelope,
+    "x_webhook_auth" -> xWebhookAuth,
+    "x_update_envelope" -> xUpdateEnvelope,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,

@@ -769,6 +769,151 @@ object Queries {
         CROSS JOIN (SELECT unnest(['discover', 'search', 'sync', 'webhook']) AS endpoint))
       ORDER BY ip, endpoint"""))
 
+  /** `?since=`/`?until=` parameter validation on GET /openfeeder
+    * (main.py:394-409 + parse_since sync_utils.py:41-50 / parse_until
+    * main.py:770-778), replicated branch-for-branch:
+    *
+    *  - the sync validations run ONLY in the sync branch — `(since or
+    *    until) and not q` — so a search request with junk `since` sails
+    *    through (the params are ignored), and Python falsiness makes an
+    *    EMPTY-STRING param absent;
+    *  - `since` accepts RFC-3339 OR a sync token; `until` accepts only
+    *    RFC-3339 — a valid sync token passed as `until` is a 400;
+    *  - order: invalid since wins over invalid until wins over the range
+    *    check, and the range check is STRICT (`until_ts < since_ts`;
+    *    equal instants pass);
+    *  - each failure returns the spec §8 envelope
+    *    `{"schema":"openfeeder/1.0","error":{"code":"INVALID_PARAM",
+    *    "message": …}}` with the exact reference message.
+    *
+    * The parameter vocabulary is a closed literal set; parse outcomes
+    * are evaluated at plan-build time through the REAL parser
+    * ([[graft.extract.SyncCodec]], itself t3-★/property-tested) and
+    * interpolated into both engines, so the oracle independently checks
+    * the dispatch, ordering, and envelope logic while sharing the
+    * parser verdicts (a DuckDB reimplementation of fromisoformat would
+    * test DuckDB, not the reference semantics). */
+  private val xSyncValidation = Q(
+    (s, dir) => {
+      import graft.extract.SyncCodec
+      val tok = SyncCodec.encodeSyncToken("2024-01-12T00:00:00+00:00")
+      val sinceCands: Seq[Option[String]] = Seq(
+        Some("2024-01-10T00:00:00Z"), Some("2024-01-10T06:30:00+02:00"),
+        Some("2024-01-15"), Some(tok), Some("not-a-date"), Some("!!!"),
+        None, Some(""))
+      val untilCands: Seq[Option[String]] = Seq(
+        Some("2024-01-20T00:00:00Z"), Some("2024-01-05"), Some(tok),
+        Some("junk"), None, Some("2024-01-15T00:00:00Z"))
+      val sinceTs: Seq[Option[Long]] =
+        sinceCands.map(_.filter(_.nonEmpty).flatMap(SyncCodec.parseSince).map(_.toLong))
+      val untilTs: Seq[Option[Long]] =
+        untilCands.map(_.filter(_.nonEmpty).flatMap(SyncCodec.parseIsoTimestamp).map(_.toLong))
+      val sIdx = pmod(col("doc_id"), lit(8))
+      val uIdx = pmod(floor(col("doc_id") / 8).cast("long"), lit(6))
+      def pickStr(idx: Column, vals: Seq[Option[String]]): Column =
+        vals.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (v, i)) => when(idx === i, v.map(lit).getOrElse(
+            lit(null).cast("string"))).otherwise(acc)
+        }
+      def pickTs(idx: Column, vals: Seq[Option[Long]]): Column =
+        vals.zipWithIndex.foldLeft(lit(null).cast("long")) {
+          case (acc, (v, i)) => when(idx === i, v.map(lit).getOrElse(
+            lit(null).cast("long"))).otherwise(acc)
+        }
+      val base = rd(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0, "widget")
+            .otherwise(lit(null).cast("string")).as("q_param"),
+          pickStr(sIdx, sinceCands).as("since_param"),
+          pickStr(uIdx, untilCands).as("until_param"),
+          pickTs(sIdx, sinceTs).as("since_ts"),
+          pickTs(uIdx, untilTs).as("until_ts"))
+      val hasQ = col("q_param").isNotNull && col("q_param") =!= ""
+      val hasSince = col("since_param").isNotNull && col("since_param") =!= ""
+      val hasUntil = col("until_param").isNotNull && col("until_param") =!= ""
+      val syncBranch = (hasSince || hasUntil) && !hasQ
+      val msg =
+        when(syncBranch && hasSince && col("since_ts").isNull,
+          "Invalid ?since= value. Provide an RFC3339 datetime or a valid sync_token.")
+        .when(syncBranch && hasUntil && col("until_ts").isNull,
+          "Invalid ?until= value. Provide an RFC3339 datetime.")
+        .when(syncBranch && hasSince && hasUntil &&
+            col("until_ts") < col("since_ts"),
+          "?until= must be after ?since=.")
+      base
+        .withColumn("msg", msg)
+        .select(col("doc_id"), col("q_param"), col("since_param"),
+          col("until_param"),
+          when(col("msg").isNotNull, 400).otherwise(200).as("status_code"),
+          when(col("msg").isNotNull, lit(null).cast("string"))
+            .when(syncBranch, "sync")
+            .when(hasQ, "search")
+            .otherwise("index").as("mode"),
+          when(col("msg").isNotNull, to_json(struct(
+            lit("openfeeder/1.0").as("schema"),
+            struct(lit("INVALID_PARAM").as("code"),
+              col("msg").as("message")).as("error")))).as("body"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.extract.SyncCodec
+      val tok = SyncCodec.encodeSyncToken("2024-01-12T00:00:00+00:00")
+      val sinceCands: Seq[Option[String]] = Seq(
+        Some("2024-01-10T00:00:00Z"), Some("2024-01-10T06:30:00+02:00"),
+        Some("2024-01-15"), Some(tok), Some("not-a-date"), Some("!!!"),
+        None, Some(""))
+      val untilCands: Seq[Option[String]] = Seq(
+        Some("2024-01-20T00:00:00Z"), Some("2024-01-05"), Some(tok),
+        Some("junk"), None, Some("2024-01-15T00:00:00Z"))
+      def caseOf(field: String, vals: Seq[Option[String]]): String =
+        s"CASE $field " + vals.zipWithIndex.map { case (v, i) =>
+          s"WHEN $i THEN " + v.map(x => s"'$x'").getOrElse("NULL")
+        }.mkString(" ") + " END"
+      def tsCaseOf(field: String, vals: Seq[Option[Long]]): String =
+        s"CASE $field " + vals.zipWithIndex.map { case (v, i) =>
+          s"WHEN $i THEN " + v.map(x => s"CAST($x AS BIGINT)").getOrElse("NULL")
+        }.mkString(" ") + " END"
+      val sinceTs = sinceCands.map(
+        _.filter(_.nonEmpty).flatMap(SyncCodec.parseSince).map(_.toLong))
+      val untilTs = untilCands.map(
+        _.filter(_.nonEmpty).flatMap(SyncCodec.parseIsoTimestamp).map(_.toLong))
+      s"""SELECT doc_id, q_param, since_param, until_param,
+        CASE WHEN msg IS NOT NULL THEN 400 ELSE 200 END AS status_code,
+        CASE WHEN msg IS NOT NULL THEN NULL
+          WHEN sync_branch THEN 'sync'
+          WHEN has_q THEN 'search'
+          ELSE 'index' END AS mode,
+        CASE WHEN msg IS NOT NULL THEN to_json(struct_pack(
+          schema := 'openfeeder/1.0',
+          error := struct_pack(code := 'INVALID_PARAM', message := msg)))
+        END AS body
+      FROM (
+        SELECT *,
+          CASE WHEN sync_branch AND has_since AND since_ts IS NULL
+            THEN 'Invalid ?since= value. Provide an RFC3339 datetime or a valid sync_token.'
+          WHEN sync_branch AND has_until AND until_ts IS NULL
+            THEN 'Invalid ?until= value. Provide an RFC3339 datetime.'
+          WHEN sync_branch AND has_since AND has_until AND until_ts < since_ts
+            THEN '?until= must be after ?since=.'
+          END AS msg
+        FROM (
+          SELECT *,
+            (q_param IS NOT NULL AND q_param <> '') AS has_q,
+            (since_param IS NOT NULL AND since_param <> '') AS has_since,
+            (until_param IS NOT NULL AND until_param <> '') AS has_until,
+            ((since_param IS NOT NULL AND since_param <> '')
+              OR (until_param IS NOT NULL AND until_param <> ''))
+              AND NOT (q_param IS NOT NULL AND q_param <> '') AS sync_branch
+          FROM (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN 'widget' END AS q_param,
+              ${caseOf("doc_id % 8", sinceCands)} AS since_param,
+              ${caseOf("(doc_id // 8) % 6", untilCands)} AS until_param,
+              ${tsCaseOf("doc_id % 8", sinceTs)} AS since_ts,
+              ${tsCaseOf("(doc_id // 8) % 6", untilTs)} AS until_ts
+            FROM documents)))
+      ORDER BY doc_id"""
+    })
+
   /** The webhook auth gate — `_check_webhook_auth` (main.py:660-670),
     * the THIRD distinct auth matrix in the reference next to the express
     * API-key gate (x_auth_gate, 401 envelope) and the admin gate
@@ -2685,6 +2830,7 @@ object Queries {
     "x_quota_envelope" -> xQuotaEnvelope,
     "x_webhook_auth" -> xWebhookAuth,
     "x_update_envelope" -> xUpdateEnvelope,
+    "x_sync_validation" -> xSyncValidation,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,

@@ -1053,6 +1053,59 @@ object Queries {
         GROUP BY batch_id, action)
       ORDER BY batch_id"""))
 
+  /** `POST /crawl` + `GET /healthz` (main.py:864-879) — the last two
+    * routes, pure process-state reflectors, modeled over the three
+    * reachable states: fresh process (`_crawl_running=False,
+    * _last_crawl_ts=0.0`, main.py:96-97), mid-crawl (True, still 0.0 —
+    * the timestamp is set only on completion, :124), and post-crawl
+    * (False, ts of the last finished crawl). /crawl answers
+    * already_running vs crawl_started with the exact message strings;
+    * /healthz reflects both fields. Documented stand-in: the reference's
+    * `_last_crawl_ts = time.time()` is process wall clock — here the
+    * post-crawl timestamp is the data horizon (max events.ts, rendered
+    * float-style with the .0 a whole-second float prints), which is what
+    * a log-derived replay can know. */
+  private val xOpsStatus = Q(
+    (s, dir) => {
+      val lastEpoch = rd(s, dir, "events").agg(
+        unix_timestamp(max(col("ts"))).as("last_epoch"))
+      val states = s.range(3).select(col("id").as("state_id"))
+        .crossJoin(lastEpoch)
+        .select(col("state_id"),
+          (col("state_id") === 1).as("running"),
+          when(col("state_id") === 2, concat(col("last_epoch"), lit(".0")))
+            .otherwise("0.0").as("last_crawl"))
+        .select(col("state_id"), col("running"), col("last_crawl"),
+          explode(typedlit(Seq("/crawl", "/healthz"))).as("endpoint"))
+      states.select(col("state_id"), col("endpoint"),
+          lit(200).as("status_code"),
+          when(col("endpoint") === "/crawl", to_json(struct(
+            when(col("running"), "already_running")
+              .otherwise("crawl_started").as("status"),
+            when(col("running"), "A crawl is already in progress")
+              .otherwise("Re-crawl triggered in background").as("message"))))
+          .otherwise(concat(lit("{\"status\":\"ok\",\"crawl_running\":"),
+            col("running").cast("string"), lit(",\"last_crawl\":"),
+            col("last_crawl"), lit("}"))).as("body"))
+        .orderBy("state_id", "endpoint")
+    },
+    Some("""SELECT state_id, endpoint, 200 AS status_code,
+        CASE WHEN endpoint = '/crawl' THEN to_json(struct_pack(
+          status := CASE WHEN running THEN 'already_running' ELSE 'crawl_started' END,
+          message := CASE WHEN running THEN 'A crawl is already in progress'
+            ELSE 'Re-crawl triggered in background' END))
+        ELSE '{"status":"ok","crawl_running":' || CAST(running AS VARCHAR) ||
+          ',"last_crawl":' || last_crawl || '}' END AS body
+      FROM (
+        SELECT s.state_id, s.state_id = 1 AS running, u.endpoint,
+          CASE WHEN s.state_id = 2
+            THEN CAST(CAST(epoch(e.mx) AS BIGINT) AS VARCHAR) || '.0'
+            ELSE '0.0' END AS last_crawl
+        FROM (SELECT unnest([0, 1, 2]) AS state_id) s
+        CROSS JOIN (SELECT unnest(['/crawl', '/healthz']) AS endpoint) u
+        CROSS JOIN (SELECT max(ts) AS mx FROM events) e)
+      ORDER BY state_id, endpoint"""))
+
   /** The full `GET /admin/quota` (all-IPs) response body — `get_quota`'s
     * summary mode (rate_limiter.py:252-281) wrapped in the endpoint
     * envelope (main.py:816-835): `{"status":"ok","quota":{"total_ips":N,
@@ -2831,6 +2884,7 @@ object Queries {
     "x_webhook_auth" -> xWebhookAuth,
     "x_update_envelope" -> xUpdateEnvelope,
     "x_sync_validation" -> xSyncValidation,
+    "x_ops_status" -> xOpsStatus,
     "a7_analytics_events" -> a7AnalyticsEvents,
     "a8_analytics_rollup" -> a8AnalyticsRollup,
     "c1_conditional_cache" -> c1ConditionalCache,

@@ -769,6 +769,26 @@ object Queries {
         CROSS JOIN (SELECT unnest(['discover', 'search', 'sync', 'webhook']) AS endpoint))
       ORDER BY ip, endpoint"""))
 
+  /** The x_sync_validation parameter vocabulary + parse verdicts — ONE
+    * definition shared by the Spark side and the DuckDB oracle builder
+    * so the two can never drift. Verdicts are evaluated through the real
+    * [[graft.extract.SyncCodec]] parser at plan-build time. */
+  private object SyncValidationVocab {
+    import graft.extract.SyncCodec
+    val tok: String = SyncCodec.encodeSyncToken("2024-01-12T00:00:00+00:00")
+    val sinceCands: Seq[Option[String]] = Seq(
+      Some("2024-01-10T00:00:00Z"), Some("2024-01-10T06:30:00+02:00"),
+      Some("2024-01-15"), Some(tok), Some("not-a-date"), Some("!!!"),
+      None, Some(""))
+    val untilCands: Seq[Option[String]] = Seq(
+      Some("2024-01-20T00:00:00Z"), Some("2024-01-05"), Some(tok),
+      Some("junk"), None, Some("2024-01-15T00:00:00Z"))
+    val sinceTs: Seq[Option[Long]] =
+      sinceCands.map(_.filter(_.nonEmpty).flatMap(SyncCodec.parseSince).map(_.toLong))
+    val untilTs: Seq[Option[Long]] =
+      untilCands.map(_.filter(_.nonEmpty).flatMap(SyncCodec.parseIsoTimestamp).map(_.toLong))
+  }
+
   /** `?since=`/`?until=` parameter validation on GET /openfeeder
     * (main.py:394-409 + parse_since sync_utils.py:41-50 / parse_until
     * main.py:770-778), replicated branch-for-branch:
@@ -795,19 +815,7 @@ object Queries {
     * test DuckDB, not the reference semantics). */
   private val xSyncValidation = Q(
     (s, dir) => {
-      import graft.extract.SyncCodec
-      val tok = SyncCodec.encodeSyncToken("2024-01-12T00:00:00+00:00")
-      val sinceCands: Seq[Option[String]] = Seq(
-        Some("2024-01-10T00:00:00Z"), Some("2024-01-10T06:30:00+02:00"),
-        Some("2024-01-15"), Some(tok), Some("not-a-date"), Some("!!!"),
-        None, Some(""))
-      val untilCands: Seq[Option[String]] = Seq(
-        Some("2024-01-20T00:00:00Z"), Some("2024-01-05"), Some(tok),
-        Some("junk"), None, Some("2024-01-15T00:00:00Z"))
-      val sinceTs: Seq[Option[Long]] =
-        sinceCands.map(_.filter(_.nonEmpty).flatMap(SyncCodec.parseSince).map(_.toLong))
-      val untilTs: Seq[Option[Long]] =
-        untilCands.map(_.filter(_.nonEmpty).flatMap(SyncCodec.parseIsoTimestamp).map(_.toLong))
+      import SyncValidationVocab.{sinceCands, untilCands, sinceTs, untilTs}
       val sIdx = pmod(col("doc_id"), lit(8))
       val uIdx = pmod(floor(col("doc_id") / 8).cast("long"), lit(6))
       def pickStr(idx: Column, vals: Seq[Option[String]]): Column =
@@ -855,15 +863,7 @@ object Queries {
         .orderBy("doc_id")
     },
     Some {
-      import graft.extract.SyncCodec
-      val tok = SyncCodec.encodeSyncToken("2024-01-12T00:00:00+00:00")
-      val sinceCands: Seq[Option[String]] = Seq(
-        Some("2024-01-10T00:00:00Z"), Some("2024-01-10T06:30:00+02:00"),
-        Some("2024-01-15"), Some(tok), Some("not-a-date"), Some("!!!"),
-        None, Some(""))
-      val untilCands: Seq[Option[String]] = Seq(
-        Some("2024-01-20T00:00:00Z"), Some("2024-01-05"), Some(tok),
-        Some("junk"), None, Some("2024-01-15T00:00:00Z"))
+      import SyncValidationVocab.{sinceCands, untilCands}
       def caseOf(field: String, vals: Seq[Option[String]]): String =
         s"CASE $field " + vals.zipWithIndex.map { case (v, i) =>
           s"WHEN $i THEN " + v.map(x => s"'$x'").getOrElse("NULL")
@@ -872,10 +872,7 @@ object Queries {
         s"CASE $field " + vals.zipWithIndex.map { case (v, i) =>
           s"WHEN $i THEN " + v.map(x => s"CAST($x AS BIGINT)").getOrElse("NULL")
         }.mkString(" ") + " END"
-      val sinceTs = sinceCands.map(
-        _.filter(_.nonEmpty).flatMap(SyncCodec.parseSince).map(_.toLong))
-      val untilTs = untilCands.map(
-        _.filter(_.nonEmpty).flatMap(SyncCodec.parseIsoTimestamp).map(_.toLong))
+      import SyncValidationVocab.{sinceTs, untilTs}
       s"""SELECT doc_id, q_param, since_param, until_param,
         CASE WHEN msg IS NOT NULL THEN 400 ELSE 200 END AS status_code,
         CASE WHEN msg IS NOT NULL THEN NULL

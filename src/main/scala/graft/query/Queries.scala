@@ -802,9 +802,16 @@ object Queries {
     *  - order: invalid since wins over invalid until wins over the range
     *    check, and the range check is STRICT (`until_ts < since_ts`;
     *    equal instants pass);
-    *  - each failure returns the spec §8 envelope
+    *  - the since and range failures return the spec §8 envelope
     *    `{"schema":"openfeeder/1.0","error":{"code":"INVALID_PARAM",
-    *    "message": …}}` with the exact reference message.
+    *    "message": …}}` — but the until failure does NOT: `parse_until`
+    *    RAISES `HTTPException(400, detail={...})` before the handler's
+    *    `if until_ts is None` spec-envelope branch can run (that branch
+    *    is dead code, main.py:405-406 vs :770-778), so the real body is
+    *    FastAPI's `{"detail": {"error": "INVALID_PARAM", "message":
+    *    "?until= must be an RFC 3339 datetime"}}` — a different shape
+    *    AND a different message than the dead branch's. Replicated
+    *    exactly, dead branch and all.
     *
     * The parameter vocabulary is a closed literal set; parse outcomes
     * are evaluated at plan-build time through the REAL parser
@@ -839,27 +846,34 @@ object Queries {
       val hasSince = col("since_param").isNotNull && col("since_param") =!= ""
       val hasUntil = col("until_param").isNotNull && col("until_param") =!= ""
       val syncBranch = (hasSince || hasUntil) && !hasQ
-      val msg =
+      def specEnv(m: String): Column = to_json(struct(
+        lit("openfeeder/1.0").as("schema"),
+        struct(lit("INVALID_PARAM").as("code"),
+          lit(m).as("message")).as("error")))
+      // invalid ?until= NEVER reaches the spec-envelope branch: parse_until
+      // RAISES HTTPException(400, detail={...}) (main.py:770-778), so the
+      // handler's `if until_ts is None` check (:405-406) is dead code and
+      // the real body is FastAPI's {"detail": {...}} rendering
+      val untilRaise = to_json(struct(struct(
+        lit("INVALID_PARAM").as("error"),
+        lit("?until= must be an RFC 3339 datetime").as("message")).as("detail")))
+      val body =
         when(syncBranch && hasSince && col("since_ts").isNull,
-          "Invalid ?since= value. Provide an RFC3339 datetime or a valid sync_token.")
-        .when(syncBranch && hasUntil && col("until_ts").isNull,
-          "Invalid ?until= value. Provide an RFC3339 datetime.")
+          specEnv("Invalid ?since= value. Provide an RFC3339 datetime or a valid sync_token."))
+        .when(syncBranch && hasUntil && col("until_ts").isNull, untilRaise)
         .when(syncBranch && hasSince && hasUntil &&
             col("until_ts") < col("since_ts"),
-          "?until= must be after ?since=.")
+          specEnv("?until= must be after ?since=."))
       base
-        .withColumn("msg", msg)
+        .withColumn("body", body)
         .select(col("doc_id"), col("q_param"), col("since_param"),
           col("until_param"),
-          when(col("msg").isNotNull, 400).otherwise(200).as("status_code"),
-          when(col("msg").isNotNull, lit(null).cast("string"))
+          when(col("body").isNotNull, 400).otherwise(200).as("status_code"),
+          when(col("body").isNotNull, lit(null).cast("string"))
             .when(syncBranch, "sync")
             .when(hasQ, "search")
             .otherwise("index").as("mode"),
-          when(col("msg").isNotNull, to_json(struct(
-            lit("openfeeder/1.0").as("schema"),
-            struct(lit("INVALID_PARAM").as("code"),
-              col("msg").as("message")).as("error")))).as("body"))
+          col("body"))
         .orderBy("doc_id")
     },
     Some {
@@ -874,24 +888,27 @@ object Queries {
         }.mkString(" ") + " END"
       import SyncValidationVocab.{sinceTs, untilTs}
       s"""SELECT doc_id, q_param, since_param, until_param,
-        CASE WHEN msg IS NOT NULL THEN 400 ELSE 200 END AS status_code,
-        CASE WHEN msg IS NOT NULL THEN NULL
+        CASE WHEN body IS NOT NULL THEN 400 ELSE 200 END AS status_code,
+        CASE WHEN body IS NOT NULL THEN NULL
           WHEN sync_branch THEN 'sync'
           WHEN has_q THEN 'search'
           ELSE 'index' END AS mode,
-        CASE WHEN msg IS NOT NULL THEN to_json(struct_pack(
-          schema := 'openfeeder/1.0',
-          error := struct_pack(code := 'INVALID_PARAM', message := msg)))
-        END AS body
+        body
       FROM (
         SELECT *,
           CASE WHEN sync_branch AND has_since AND since_ts IS NULL
-            THEN 'Invalid ?since= value. Provide an RFC3339 datetime or a valid sync_token.'
+            THEN to_json(struct_pack(schema := 'openfeeder/1.0',
+              error := struct_pack(code := 'INVALID_PARAM',
+                message := 'Invalid ?since= value. Provide an RFC3339 datetime or a valid sync_token.')))
           WHEN sync_branch AND has_until AND until_ts IS NULL
-            THEN 'Invalid ?until= value. Provide an RFC3339 datetime.'
+            THEN to_json(struct_pack(detail := struct_pack(
+              error := 'INVALID_PARAM',
+              message := '?until= must be an RFC 3339 datetime')))
           WHEN sync_branch AND has_since AND has_until AND until_ts < since_ts
-            THEN '?until= must be after ?since=.'
-          END AS msg
+            THEN to_json(struct_pack(schema := 'openfeeder/1.0',
+              error := struct_pack(code := 'INVALID_PARAM',
+                message := '?until= must be after ?since=.')))
+          END AS body
         FROM (
           SELECT *,
             (q_param IS NOT NULL AND q_param <> '') AS has_q,
@@ -920,55 +937,11 @@ object Queries {
     * 401 "Missing Bearer token", wrong secret → 403 "Invalid webhook
     * secret", exact secret → pass (status null here: the request
     * proceeds into the handler). */
-  private val xWebhookAuth = Q(
-    (s, dir) => {
-      val secret = "whk-secret"
-      val configured = pmod(col("doc_id"), lit(4)) =!= 3
-      val m6 = pmod(col("doc_id"), lit(6))
-      val header = when(m6 === 0, s"Bearer $secret")
-        .when(m6 === 1, "Bearer wrong-secret")
-        .when(m6 === 2, lit(null).cast("string"))
-        .when(m6 === 3, s"Basic $secret")
-        .when(m6 === 4, s"bearer $secret")
-        .otherwise(lit("Bearer"))
-      val notBearer = col("auth_header").isNull ||
-        !col("auth_header").startsWith("Bearer ")
-      val badSecret = substring(col("auth_header"), 8, Int.MaxValue) =!= secret
-      rd(s, dir, "documents")
-        .select(col("doc_id"), configured.as("secret_configured"),
-          header.as("auth_header"))
-        .withColumn("status_code",
-          when(!col("secret_configured"), lit(null).cast("int")) // auth disabled: pass
-            .when(notBearer, 401)
-            .when(badSecret, 403))
-        .withColumn("detail",
-          when(col("status_code") === 401, "Missing Bearer token")
-            .when(col("status_code") === 403, "Invalid webhook secret"))
-        .withColumn("body", when(col("status_code").isNotNull,
-          to_json(struct(col("detail").as("detail")))))
-        .drop("detail")
-        .orderBy("doc_id")
-    },
-    Some("""SELECT doc_id, secret_configured, auth_header, status_code,
-        CASE WHEN status_code IS NOT NULL THEN to_json(struct_pack(detail := detail)) END AS body
-      FROM (
-        SELECT *,
-          CASE WHEN NOT secret_configured THEN NULL
-               WHEN auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ') THEN 401
-               WHEN substr(auth_header, 8) <> 'whk-secret' THEN 403
-               END AS status_code,
-          CASE WHEN secret_configured AND (auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ')) THEN 'Missing Bearer token'
-               WHEN secret_configured AND substr(auth_header, 8) <> 'whk-secret' THEN 'Invalid webhook secret'
-               END AS detail
-        FROM (
-          SELECT doc_id, doc_id % 4 <> 3 AS secret_configured,
-            CASE doc_id % 6 WHEN 0 THEN 'Bearer whk-secret'
-              WHEN 1 THEN 'Bearer wrong-secret'
-              WHEN 3 THEN 'Basic whk-secret'
-              WHEN 4 THEN 'bearer whk-secret'
-              WHEN 5 THEN 'Bearer' END AS auth_header
-          FROM documents))
-      ORDER BY doc_id"""))
+  private val xWebhookAuth = bearerGateQ(
+    secret = "whk-secret", wrongToken = "wrong-secret",
+    flagName = "secret_configured",
+    unconfigured = None,
+    invalidMsg = "Invalid webhook secret", passStatus = None)
 
   /** `POST /openfeeder/update` response envelopes (main.py:723-763 +
     * `_process_update` :673-720): per batch, ≤10 urls (INLINE_LIMIT)
@@ -995,10 +968,12 @@ object Queries {
       // batch sizes are WIDTH-controlled, not count-controlled, so both
       // response shapes exist at every SF: even docs land in 8-wide
       // slots (~4 urls → inline "ok"), odd docs in 30-wide slots
-      // (~15 urls → "queued")
+      // (~15 urls → "queued"). The two namespaces stay disjoint by
+      // PARITY of the batch id (not by an offset a large doc_id could
+      // overrun), so the shapes hold at any table size.
       val batch = when(pmod(col("doc_id"), lit(2)) === 0,
-          floor(col("doc_id") / 8).cast("long"))
-        .otherwise(lit(1000L) + floor(col("doc_id") / 30).cast("long"))
+          floor(col("doc_id") / 8).cast("long") * 2)
+        .otherwise(floor(col("doc_id") / 30).cast("long") * 2 + 1)
       val rows = rd(s, dir, "documents").select(
           col("doc_id"), batch.as("batch_id"))
         .withColumn("action",
@@ -1039,8 +1014,8 @@ object Queries {
               THEN full_url || ': HTTP ' || CAST(fetch_status AS VARCHAR) END AS err
           FROM (
             SELECT doc_id,
-              CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id // 8
-                ELSE 1000 + doc_id // 30 END AS BIGINT) AS batch_id,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 8) * 2
+                ELSE (doc_id // 30) * 2 + 1 END AS BIGINT) AS batch_id,
               'https://example.com' || '/' ||
                 regexp_replace(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
                   || 'blog/post-' || CAST(doc_id AS VARCHAR), '^/+', '') AS full_url,
@@ -1116,7 +1091,15 @@ object Queries {
     * INSERTION order — process history that is sweep-phase-dependent
     * once buckets get evicted and re-created, hence not exactly
     * derivable from the log. Per-bucket numbers, bucket membership, and
-    * both totals are exact. */
+    * both totals are exact.
+    *
+    * Scale note: the final aggregation concatenates every alive ip into
+    * ONE response string — exactly as unbounded as the endpoint it
+    * models (the reference serializes its whole in-memory map). At
+    * data-lake ip cardinalities use the row-per-bucket [[a9QuotaView]]
+    * surface; this query exists to pin the response BODY byte-for-byte
+    * at admin scale (alive buckets ≈ active clients in a 5-minute
+    * horizon, not the historical corpus). */
   private val xQuotaEnvelope = Q(
     (s, dir) => {
       val v = quotaView(s, dir)
@@ -1124,26 +1107,33 @@ object Queries {
         lit("\""), col("endpoint"), lit("\":{\"count\":"), col("n_in_window"),
         lit(",\"limit\":"), col("limit_rpm"), lit(",\"remaining\":"), col("remaining"),
         lit(",\"percent_used\":"), col("percent_used").cast("string"), lit("}"))
+      // single pass over the view: per-ip bucket counts ride the same
+      // aggregation as the JSON fragments, and both totals fall out of
+      // the ONE outer aggregate (total_ips = per-ip rows, total_buckets
+      // = their sum) — the admission simulation runs once, not twice
       val perIp = v
         .select(col("ip"), struct(col("endpoint"), bucketJson.as("j")).as("e"))
         .groupBy("ip")
-        .agg(concat(lit("\""), col("ip"), lit("\":{"),
-          array_join(transform(array_sort(collect_list(col("e"))),
-            x => x.getField("j")), ","),
-          lit("}")).as("ipj"))
-      val totals = v.agg(count(lit(1)).as("total_buckets"),
-        countDistinct(col("ip")).as("total_ips"))
-      val ips = perIp.agg(
-        array_join(transform(array_sort(collect_list(struct(col("ip"), col("ipj")))),
-          x => x.getField("ipj")), ",").as("ips_json"))
-      totals.crossJoin(ips).select(concat(
-        lit("{\"status\":\"ok\",\"quota\":{\"total_ips\":"), col("total_ips"),
-        lit(",\"total_buckets\":"), col("total_buckets"),
-        lit(",\"ips\":{"), col("ips_json"), lit("}}}")).as("quota_envelope"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          concat(lit("\""), col("ip"), lit("\":{"),
+            array_join(transform(array_sort(collect_list(col("e"))),
+              x => x.getField("j")), ","),
+            lit("}")).as("ipj"))
+      perIp.agg(
+          count(lit(1)).as("total_ips"),
+          coalesce(sum(col("n_buckets")), lit(0L)).as("total_buckets"),
+          array_join(transform(array_sort(collect_list(struct(col("ip"), col("ipj")))),
+            x => x.getField("ipj")), ",").as("ips_json"))
+        .select(concat(
+          lit("{\"status\":\"ok\",\"quota\":{\"total_ips\":"), col("total_ips"),
+          lit(",\"total_buckets\":"), col("total_buckets"),
+          lit(",\"ips\":{"), col("ips_json"), lit("}}}")).as("quota_envelope"))
     },
     Some(s"""WITH v AS ($quotaViewSql),
       per_ip AS (
-        SELECT ip, '"' || CAST(ip AS VARCHAR) || '":{' ||
+        SELECT ip, count(*) AS n_buckets,
+          '"' || CAST(ip AS VARCHAR) || '":{' ||
           string_agg('"' || endpoint || '":{"count":' || CAST(n_in_window AS VARCHAR) ||
             ',"limit":' || CAST(limit_rpm AS VARCHAR) ||
             ',"remaining":' || CAST(remaining AS VARCHAR) ||
@@ -1152,11 +1142,12 @@ object Queries {
         FROM v GROUP BY ip
       )
       SELECT '{"status":"ok","quota":{"total_ips":' ||
-        CAST((SELECT count(*) FROM per_ip) AS VARCHAR) ||
-        ',"total_buckets":' || CAST((SELECT count(*) FROM v) AS VARCHAR) ||
+        CAST(count(*) AS VARCHAR) ||
+        ',"total_buckets":' || CAST(CAST(COALESCE(sum(n_buckets), 0) AS BIGINT) AS VARCHAR) ||
         ',"ips":{' ||
-        COALESCE((SELECT string_agg(ipj, ',' ORDER BY ip) FROM per_ip), '') ||
-        '}}}' AS quota_envelope"""))
+        COALESCE(string_agg(ipj, ',' ORDER BY ip), '') ||
+        '}}}' AS quota_envelope
+      FROM per_ip"""))
 
   /** The admin-key gate for the `/admin` endpoints — `_check_admin_auth`
     * (main.py:799-815): with no RATE_LIMIT_ADMIN_KEY configured, every
@@ -1172,58 +1163,84 @@ object Queries {
     * lowercase `bearer`, `Bearer` with no space) so every branch of the
     * 401/403/200 matrix appears. This is the sidecar's 403-first variant
     * next to x_auth_gate's express 401-envelope variant. */
-  private val xAdminAuth = Q(
+  /** Shared builder for the sidecar's two FastAPI Bearer gates
+    * (`_check_admin_auth` main.py:799-815, `_check_webhook_auth`
+    * main.py:660-670): identical Bearer mechanics (`startswith("Bearer ")`,
+    * token = the rest, `hmac.compare_digest` exact equality, 401
+    * "Missing Bearer token", 403 on mismatch), differing in the secret,
+    * the mismatch message, and what happens with NO secret configured
+    * (admin: 403 "Admin endpoints are disabled"; webhook: pass
+    * silently) / on pass (admin 200, webhook proceeds = null). One
+    * definition, both the DataFrame and the DuckDB twin, so the shared
+    * mechanics cannot drift between the two gates. */
+  private def bearerGateQ(secret: String, wrongToken: String,
+      flagName: String, unconfigured: Option[(Int, String)],
+      invalidMsg: String, passStatus: Option[Int]): Q = Q(
     (s, dir) => {
-      val adminKey = "admin-secret-key"
       val configured = pmod(col("doc_id"), lit(4)) =!= 3
       val m6 = pmod(col("doc_id"), lit(6))
-      val header = when(m6 === 0, s"Bearer $adminKey")
-        .when(m6 === 1, "Bearer wrong-key")
+      val header = when(m6 === 0, s"Bearer $secret")
+        .when(m6 === 1, s"Bearer $wrongToken")
         .when(m6 === 2, lit(null).cast("string"))
-        .when(m6 === 3, s"Basic $adminKey")
-        .when(m6 === 4, s"bearer $adminKey")
+        .when(m6 === 3, s"Basic $secret")
+        .when(m6 === 4, s"bearer $secret")
         .otherwise(lit("Bearer"))
       val notBearer = col("auth_header").isNull ||
         !col("auth_header").startsWith("Bearer ")
-      val badKey = substring(col("auth_header"), 8, Int.MaxValue) =!= adminKey
+      val badKey = substring(col("auth_header"), 8, Int.MaxValue) =!= secret
+      val nullInt = lit(null).cast("int")
       rd(s, dir, "documents")
-        .select(col("doc_id"), configured.as("admin_key_configured"),
+        .select(col("doc_id"), configured.as(flagName),
           header.as("auth_header"))
         .withColumn("status_code",
-          when(!col("admin_key_configured"), 403)
+          when(!col(flagName), unconfigured.map(u => lit(u._1)).getOrElse(nullInt))
             .when(notBearer, 401)
             .when(badKey, 403)
-            .otherwise(200))
+            .otherwise(passStatus.map(lit).getOrElse(nullInt)))
         .withColumn("detail",
-          when(!col("admin_key_configured"), "Admin endpoints are disabled")
+          when(!col(flagName),
+            unconfigured.map(u => lit(u._2)).getOrElse(lit(null).cast("string")))
             .when(notBearer, "Missing Bearer token")
-            .when(badKey, "Invalid admin key"))
-        .withColumn("body", when(col("status_code") =!= 200,
-          to_json(struct(col("detail").as("detail")))))
+            .when(badKey, invalidMsg))
+        .withColumn("body",
+          when(col("status_code").isNotNull && col("status_code") =!= 200,
+            to_json(struct(col("detail").as("detail")))))
         .drop("detail")
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, admin_key_configured, auth_header, status_code,
-        CASE WHEN status_code <> 200 THEN to_json(struct_pack(detail := detail)) END AS body
+    Some {
+      val unconfStatus = unconfigured.map(_._1.toString).getOrElse("NULL")
+      val unconfMsg = unconfigured.map(u => s"'${u._2}'").getOrElse("NULL")
+      val passSql = passStatus.map(_.toString).getOrElse("NULL")
+      s"""SELECT doc_id, $flagName, auth_header, status_code,
+        CASE WHEN status_code IS NOT NULL AND status_code <> 200
+          THEN to_json(struct_pack(detail := detail)) END AS body
       FROM (
         SELECT *,
-          CASE WHEN NOT admin_key_configured THEN 403
+          CASE WHEN NOT $flagName THEN $unconfStatus
                WHEN auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ') THEN 401
-               WHEN substr(auth_header, 8) <> 'admin-secret-key' THEN 403
-               ELSE 200 END AS status_code,
-          CASE WHEN NOT admin_key_configured THEN 'Admin endpoints are disabled'
+               WHEN substr(auth_header, 8) <> '$secret' THEN 403
+               ELSE $passSql END AS status_code,
+          CASE WHEN NOT $flagName THEN $unconfMsg
                WHEN auth_header IS NULL OR NOT starts_with(auth_header, 'Bearer ') THEN 'Missing Bearer token'
-               WHEN substr(auth_header, 8) <> 'admin-secret-key' THEN 'Invalid admin key'
+               WHEN substr(auth_header, 8) <> '$secret' THEN '$invalidMsg'
                END AS detail
         FROM (
-          SELECT doc_id, doc_id % 4 <> 3 AS admin_key_configured,
-            CASE doc_id % 6 WHEN 0 THEN 'Bearer admin-secret-key'
-              WHEN 1 THEN 'Bearer wrong-key'
-              WHEN 3 THEN 'Basic admin-secret-key'
-              WHEN 4 THEN 'bearer admin-secret-key'
+          SELECT doc_id, doc_id % 4 <> 3 AS $flagName,
+            CASE doc_id % 6 WHEN 0 THEN 'Bearer $secret'
+              WHEN 1 THEN 'Bearer $wrongToken'
+              WHEN 3 THEN 'Basic $secret'
+              WHEN 4 THEN 'bearer $secret'
               WHEN 5 THEN 'Bearer' END AS auth_header
           FROM documents))
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+    })
+
+  private val xAdminAuth = bearerGateQ(
+    secret = "admin-secret-key", wrongToken = "wrong-key",
+    flagName = "admin_key_configured",
+    unconfigured = Some((403, "Admin endpoints are disabled")),
+    invalidMsg = "Invalid admin key", passStatus = Some(200))
 
   /** `POST /admin/quota/reset` (main.py:840-858 →
     * `RateLimiter.reset_quota`, rate_limiter.py:276-294): deleting an

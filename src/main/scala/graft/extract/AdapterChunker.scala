@@ -41,6 +41,37 @@ object AdapterChunker {
       * `\v`, `\f`, … split lines here; only `\n` does in JS/PHP),
       * `str.strip()`, `str.split()` word counting. */
     case object FastApi extends Variant
+    /** The three TypeScript ports — astro/nextjs/vite `src/chunker.ts`,
+      * byte-identical detectType across them (astro :32-49) — heading
+      * before list, `[-*+]` bullets, NO code/quote, JS string semantics;
+      * clean/packing/ids are the express pipeline. */
+    case object Ts extends Variant
+    /** `/root/reference/adapters/joomla/src/Helper/Chunker.php` — its own
+      * clean (`{...}` CMS-tag strip :79, PHP `strip_tags` :82 — which
+      * CONCATENATES text across removed tags instead of spacing it,
+      * `html_entity_decode(…, ENT_QUOTES)` :85 = the HTML 4.01 table
+      * with strict numeric refs), CHARACTER-budget packing (`mb_strlen >
+      * 500` on the trim-joined candidate, :45-52 — not a word budget!),
+      * and heading-first detection with `str_word_count` on the RAW text
+      * and `[-*+]` bullets (:96-117). */
+    case object Joomla extends Variant
+    /** `/root/reference/adapters/woocommerce/includes/class-chunker.php`
+      * — a 300-word `str_word_count` budget (:20), ids `p{product_id}_i`
+      * (:121, no md5 — pass the product id as the `url` argument), clean
+      * via `wp_strip_all_tags($s, true)` whose remove_breaks collapses
+      * ALL whitespace runs to single spaces (:39-40) — so paragraph
+      * boundaries never survive and real content packs into ONE
+      * paragraph — then a FULL `html_entity_decode(…, ENT_QUOTES |
+      * ENT_HTML5)` (:43, the HTML5 table, not the 6-entity chain), and
+      * list-vs-paragraph-ONLY detection (:140-157) whose `[-*•]` bullet
+      * class is byte-compiled without /u: a real "• " line starts with
+      * byte 0xE2 whose continuation byte can never match `\s`, so the •
+      * alternative is DEAD for valid UTF-8 — effectively `[-*]`,
+      * replicated as such. PHP's ENT_HTML5 table also decodes ~100
+      * legacy no-semicolon forms (`&amp` etc.) that this repo's
+      * semicolon-required decoder deliberately leaves verbatim — the
+      * same documented seam as the libxml2 parity decision. */
+    case object Woo extends Variant
   }
 
   final case class AChunk(id: String, text: String, chunkType: String,
@@ -102,6 +133,22 @@ object AdapterChunker {
     case Variant.Express => detectType(text)
     case Variant.Wp => detectTypeWp(text)
     case Variant.FastApi => detectTypeFastApi(text)
+    case Variant.Ts => detectTypeTs(text)
+    case Variant.Joomla => detectTypeJoomla(text)
+    case Variant.Woo => detectTypeWoo(text)
+  }
+
+  /** astro/nextjs/vite chunker.ts detectType: heading first, then
+    * `[-*+]` list, no code/quote — express string semantics. */
+  private def detectTypeTs(text: String): String = {
+    val trimmed = jsTrim(text)
+    val lines = trimmed.split("\n", -1)
+    if (lines.length == 1 && countWords(text) < 15) "heading"
+    else {
+      val listLines = lines.count(l => listLineRe.matcher(jsTrim(l)).find())
+      if (lines.nonEmpty && listLines.toDouble / lines.length >= 0.5) "list"
+      else "paragraph"
+    }
   }
 
   // ---- PHP string semantics (WP variant) ------------------------------
@@ -153,6 +200,33 @@ object AdapterChunker {
     val listLines = lines.count(l => wpListRe.matcher(phpTrim(l)).find())
     if (listLines > 0 && listLines >= lines.length / 2.0) "list"
     else if (lines.length == 1 && phpStrWordCount(trimmed) < 15) "heading"
+    else "paragraph"
+  }
+
+  /** Joomla Chunker.php:96-117: heading first — `str_word_count($text)`
+    * on the RAW (untrimmed) text, so e.g. a trailing "- \n" counts its
+    * hyphen where the trimmed form would e---drop it — then `[-*+]`
+    * list at ratio ≥ 0.5, else paragraph. */
+  private val joomlaListRe = Pattern.compile("^(\\d+[.)]\\s|[-*+]\\s)")
+  private def detectTypeJoomla(text: String): String = {
+    val lines = phpTrim(text).split("\n", -1)
+    if (lines.length == 1 && phpStrWordCount(text) < 15) "heading"
+    else {
+      val listLines = lines.count(l => joomlaListRe.matcher(phpTrim(l)).find())
+      if (lines.nonEmpty && listLines.toDouble / lines.length >= 0.5) "list"
+      else "paragraph"
+    }
+  }
+
+  /** WooCommerce class-chunker.php:140-157: list or paragraph ONLY — no
+    * heading, no code/quote. The source class is `[-*•]` but see
+    * [[Variant.Woo]]: the • is a dead byte-class alternative, so the
+    * effective class is `[-*]`. */
+  private val wooListRe = Pattern.compile("^(\\d+[.)]\\s|[-*]\\s)")
+  private def detectTypeWoo(text: String): String = {
+    val lines = phpTrim(text).split("\n", -1)
+    val listLines = lines.count(l => wooListRe.matcher(phpTrim(l)).find())
+    if (listLines > 0 && listLines >= lines.length / 2.0) "list"
     else "paragraph"
   }
 
@@ -224,6 +298,80 @@ object AdapterChunker {
     }
   }
 
+  /** PHP `strip_tags` (8.x): `<` begins a tag only when followed by a
+    * letter, `/`, `!` or `?` (a bare `1 < 2` stays text); `<!--`
+    * comments skip to `-->`; quotes inside a tag hide `>`; an
+    * unterminated tag swallows the rest. Unlike the canonical
+    * tag-to-space regex, removed tags CONCATENATE their surrounding
+    * text (`<p>a</p><p>b</p>` → `ab`). */
+  private[extract] def phpStripTags(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      val tagStart = c == '<' && i + 1 < n && {
+        val d = s.charAt(i + 1)
+        d == '/' || d == '!' || d == '?' ||
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z')
+      }
+      if (tagStart) {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          var j = i + 1
+          var quote: Char = 0
+          var done = false
+          while (j < n && !done) {
+            val t = s.charAt(j)
+            if (quote != 0) { if (t == quote) quote = 0; j += 1 }
+            else if (t == '"' || t == '\'') { quote = t; j += 1 }
+            else if (t == '>') done = true
+            else j += 1
+          }
+          i = if (done) j + 1 else n
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Joomla Chunker.php `clean` (:75-92): `{...}` CMS shortcode strip,
+    * PHP strip_tags (concatenating), HTML 4.01 entity decode with
+    * strict numerics, whitespace normalization, PHP trim. */
+  private val curlyShortcodeRe = Pattern.compile("\\{[^}]*\\}")
+  def cleanJoomla(html: String): String = {
+    var t = curlyShortcodeRe.matcher(html).replaceAll("")
+    t = phpStripTags(t)
+    t = HtmlEntities.decodePhpHtml4(t)
+    t = spaceTabRe.matcher(t).replaceAll(" ")
+    t = manyNewlinesRe.matcher(t).replaceAll("\n\n")
+    phpTrim(t)
+  }
+
+  /** WooCommerce class-chunker.php `clean` (:31-50): shortcode strip,
+    * `wp_strip_all_tags($s, true)` — script/style removed WITH content,
+    * PHP strip_tags, then remove_breaks collapses EVERY whitespace run
+    * (`[\r\n\t ]+`) to one space, so no paragraph boundary survives —
+    * then the FULL HTML5 entity decode and the (now no-op) whitespace
+    * normalizations. See [[Variant.Woo]] for the legacy no-semicolon
+    * entity delta. */
+  private val scriptStyleRe = Pattern.compile(
+    "<(script|style)[^>]*?>.*?</\\1>",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val wsRunRe = Pattern.compile("[\\r\\n\\t ]+")
+  def cleanWoo(content: String): String = {
+    var t = stripWpNoise(content)
+    t = scriptStyleRe.matcher(t).replaceAll("")
+    t = phpStripTags(t)
+    t = phpTrim(wsRunRe.matcher(t).replaceAll(" "))
+    t = HtmlEntities.decode(t)
+    t = spaceTabRe.matcher(t).replaceAll(" ")
+    t = manyNewlinesRe.matcher(t).replaceAll("\n\n")
+    phpTrim(t)
+  }
+
   private val md5Local = ThreadLocal.withInitial(
     () => java.security.MessageDigest.getInstance("MD5"))
   private val hexDigits = "0123456789abcdef".toCharArray
@@ -242,52 +390,84 @@ object AdapterChunker {
     new String(out)
   }
 
-  /** C2+C3+C5: paragraph split, greedy 500-word packing, md5-prefixed ids —
-    * chunker.js:82-122 (the packing loop is line-identical across the
-    * ports; `variant` selects the port's trim/word-count/type-detection
-    * string semantics: class-chunker.php:95-142, chunker.py:57-103). */
+  /** Joomla's packing (Chunker.php:40-57): a CHARACTER budget, not a
+    * word budget — flush when the trim-joined candidate exceeds
+    * TARGET_CHARS = 500 `mb_strlen` code points. */
+  private def packJoomlaChars(paragraphs: Array[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var current = ""
+    paragraphs.foreach { p =>
+      val combined = phpTrim(current + "\n\n" + p)
+      if (current.nonEmpty &&
+          combined.codePointCount(0, combined.length) > 500) {
+        out += current
+        current = p
+      } else current = if (current.isEmpty) p else combined
+    }
+    if (phpTrim(current).nonEmpty) out += current
+    out.result()
+  }
+
+  /** C2+C3+C5: paragraph split, greedy packing, prefixed ids —
+    * chunker.js:82-122; `variant` selects the port's clean pipeline,
+    * trim/word-count/type-detection string semantics, packing budget
+    * (500 words; Woo 300 words; Joomla 500 CHARACTERS), and id scheme
+    * (md5(url); Woo `p{product_id}` — pass the product id as `url`). */
   def chunkContent(html: String, url: String,
       variant: Variant = Variant.Express): Vector[AChunk] = {
-    val text = cleanHtml(html)
+    import Variant._
+    val text = variant match {
+      case Express | Ts | FastApi => cleanHtml(html)
+      case Wp => cleanWp(html)
+      case Joomla => cleanJoomla(html)
+      case Woo => cleanWoo(html)
+    }
     // PHP empty($content): "" AND the falsy string "0" yield no chunks
-    if (text.isEmpty || (variant == Variant.Wp && text == "0"))
+    // (WP class-chunker.php:95, Woo :83; Joomla checks trim === '' only)
+    if (text.isEmpty || ((variant == Wp || variant == Woo) && text == "0"))
       return Vector.empty
     val trimF: String => String = variant match {
-      case Variant.Express => jsTrim
-      case Variant.Wp => phpTrim
-      case Variant.FastApi => pyStrip
+      case Express | Ts => jsTrim
+      case Wp | Joomla | Woo => phpTrim
+      case FastApi => pyStrip
     }
     val wcF: String => Int = variant match {
-      case Variant.Express => countWords
-      case Variant.Wp => phpStrWordCount
-      case Variant.FastApi => pyCountWords
+      case Express | Ts => countWords
+      case Wp | Joomla | Woo => phpStrWordCount
+      case FastApi => pyCountWords
     }
     // PHP array_filter (no callback) also drops a falsy "0" paragraph
     val keep: String => Boolean = variant match {
-      case Variant.Wp => p => p.nonEmpty && p != "0"
+      case Wp | Joomla | Woo => p => p.nonEmpty && p != "0"
       case _ => p => p.nonEmpty
     }
     val paragraphs = paraSplitRe.split(text, -1).map(trimF).filter(keep)
     if (paragraphs.isEmpty) return Vector.empty
 
-    val chunkTexts = Vector.newBuilder[String]
-    var current = ""
-    var currentWords = 0
-    paragraphs.foreach { para =>
-      val paraWords = wcF(para)
-      if (currentWords > 0 && currentWords + paraWords > WordsPerChunk) {
-        chunkTexts += current
-        current = para
-        currentWords = paraWords
-      } else {
-        current = if (current.isEmpty) para else current + "\n\n" + para
-        currentWords += paraWords
+    val chunkTexts: Vector[String] =
+      if (variant == Joomla) packJoomlaChars(paragraphs)
+      else {
+        val budget = if (variant == Woo) 300 else WordsPerChunk
+        val out = Vector.newBuilder[String]
+        var current = ""
+        var currentWords = 0
+        paragraphs.foreach { para =>
+          val paraWords = wcF(para)
+          if (currentWords > 0 && currentWords + paraWords > budget) {
+            out += current
+            current = para
+            currentWords = paraWords
+          } else {
+            current = if (current.isEmpty) para else current + "\n\n" + para
+            currentWords += paraWords
+          }
+        }
+        if (current.nonEmpty) out += current
+        out.result()
       }
-    }
-    if (current.nonEmpty) chunkTexts += current
 
-    val idPrefix = md5Hex(url)
-    chunkTexts.result().zipWithIndex.map { case (t, i) =>
+    val idPrefix = if (variant == Woo) "p" + url else md5Hex(url)
+    chunkTexts.zipWithIndex.map { case (t, i) =>
       AChunk(s"${idPrefix}_$i", t, detectType(t, variant), relevance = None)
     }
   }

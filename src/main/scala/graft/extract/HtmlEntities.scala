@@ -110,7 +110,22 @@ object HtmlEntities {
   /** Decode all character references in `s`. Unknown / malformed references
     * are left verbatim, matching libxml2's recovery behavior.
     */
-  def decode(s: String): String = {
+  def decode(s: String): String =
+    decodeWith(s, named, numericSemicolonOptional = true)
+
+  /** PHP `html_entity_decode($s, ENT_QUOTES, 'UTF-8')` with the default
+    * HTML 4.01 table (the Joomla adapter's decode): the HTML4 names —
+    * NOT `&apos;`, which is XML/HTML5-only and stays verbatim under
+    * ENT_HTML401 — and numeric references only WITH a terminating
+    * semicolon (PHP leaves `&#65` undecoded; the HTML5-parser decode
+    * above is lenient there). */
+  def decodePhpHtml4(s: String): String =
+    decodeWith(s, html4Subset - "apos", numericSemicolonOptional = false)
+
+  /** [[decode]] against an arbitrary named table, with PHP-style strict
+    * (semicolon-required) or parser-style lenient numeric references. */
+  def decodeWith(s: String, table: Map[String, String],
+      numericSemicolonOptional: Boolean): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -128,12 +143,14 @@ object HtmlEntities {
           val start = j
           while (j < n && (if (hex) Character.digit(s.charAt(j), 16) >= 0
                            else s.charAt(j) >= '0' && s.charAt(j) <= '9')) j += 1
-          if (j > start && j - start <= 7) {
+          val terminated = j < n && s.charAt(j) == ';'
+          if (j > start && j - start <= 7 &&
+              (numericSemicolonOptional || terminated)) {
             try {
               val cp = Integer.parseInt(s.substring(start, j), if (hex) 16 else 10)
               if (Character.isValidCodePoint(cp) && cp != 0) {
                 sb.appendCodePoint(cp)
-                i = if (j < n && s.charAt(j) == ';') j + 1 else j
+                i = if (terminated) j + 1 else j
                 handled = true
               }
             } catch { case _: NumberFormatException => }
@@ -142,7 +159,7 @@ object HtmlEntities {
           var j = i + 1
           while (j < n && isNameChar(s.charAt(j)) && j - i <= 32) j += 1
           if (j < n && s.charAt(j) == ';' && j > i + 1) {
-            named.get(s.substring(i + 1, j)) match {
+            table.get(s.substring(i + 1, j)) match {
               case Some(rep) => sb.append(rep); i = j + 1; handled = true
               case None => ()
             }

@@ -503,7 +503,25 @@ object AdapterChunker {
     * (class-chunker.php:53-81). */
   def cleanWp(content: String): String = cleanHtml(stripWpNoise(content))
 
-  /** C6: first ~40 words + "..." — chunker.js:131-136. */
+  /** WooCommerce `summarize` (class-chunker.php:58-73): source = the
+    * short description unless PHP-empty (the falsy "0" counts as
+    * empty), run through [[cleanWoo]]; PHP-empty cleaned text returns
+    * ""; else capped at 50 `preg_split('/\\s+/')` (ASCII) words with a
+    * U+2026 `…` — NOT the express three-dot "...". */
+  def summariseWoo(shortDescription: String, description: String): String = {
+    val source =
+      if (shortDescription.nonEmpty && shortDescription != "0") shortDescription
+      else description
+    val text = cleanWoo(source)
+    if (text.isEmpty || text == "0") ""
+    else {
+      val words = text.split("\\s+", -1)
+      if (words.length > 50) words.take(50).mkString(" ") + "…" else text
+    }
+  }
+
+  /** C6: first ~40 words + "..." — chunker.js:131-136 (the TS trio's
+    * summarise is line-identical). */
   def summarise(html: String, words: Int = 40): String = {
     val text = cleanHtml(html)
     val wordList = wsSplitRe.split(text, -1).filter(_.nonEmpty)

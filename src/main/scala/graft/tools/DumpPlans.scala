@@ -61,6 +61,8 @@ object DumpPlans {
         fmt(SparkEntry.queries("p15_product_envelope")(spark, sf)),
       "a8_analytics_rollup (event fan-out explode → map-side combined rollup)" ->
         fmt(SparkEntry.queries("a8_analytics_rollup")(spark, sf)),
+      "a6_rate_window (streamed limiter walk: bucket hash exchange → partition-local spillable sort → mapPartitions; no per-bucket heap materialization)" ->
+        fmt(SparkEntry.queries("a6_rate_window")(spark, sf)),
       "crawl BFS — ONE level's expansion (the checkpointed full query hides this shape)" -> {
         // the per-level plan: links ⋈ frontier on src, anti-join visited —
         // dumping the full s1 query would execute the whole BFS and show

@@ -2,23 +2,22 @@ package graft.extract
 
 import java.util.regex.Pattern
 
-/** The cross-adapter "canonical" ~500-word chunker, identical across the
-  * reference's 9 framework ports in cleaning and greedy packing, with
-  * per-adapter TYPE-DETECTION (and word-count/trim) variants. Default
-  * semantics follow the Express adapter (superset variant):
-  * `/root/reference/adapters/express/src/chunker.js:12-136`
-  * (constants :12, cleanHtml :19-34, countWords :40-42, detectType :48-73,
-  * chunkContent :82-122, summarise :131-136). [[Variant.Wp]] and
-  * [[Variant.FastApi]] reproduce the WordPress and FastAPI ports' exact
-  * divergences — see [[Variant]].
+/** The cross-adapter chunker covering ALL NINE of the reference's
+  * framework ports, which turn out to hold SIX distinct behaviors (see
+  * [[Variant]]): express (the code/quote-detecting superset and the
+  * default — `/root/reference/adapters/express/src/chunker.js:12-136`),
+  * WordPress (= Drupal), FastAPI, the TS trio (astro/nextjs/vite),
+  * Joomla (own clean + a character packing budget), and WooCommerce
+  * (own clean, 300-word budget, product ids).
   */
 object AdapterChunker {
 
   val WordsPerChunk = 500
 
-  /** Which adapter port's semantics to run. The three ports share the
-    * regex-identical clean pipeline and greedy 500-word packing; they
-    * diverge in chunk-type detection, word counting, and trimming. */
+  /** Which adapter port's semantics to run: the ports diverge in
+    * chunk-type detection order and bullet classes, host-language
+    * string semantics (trim / word count / line split), clean
+    * pipelines, packing budgets, and id schemes. */
   sealed trait Variant
   object Variant {
     /** chunker.js:48-73 — code → quote → heading → list → paragraph,
@@ -204,9 +203,10 @@ object AdapterChunker {
   }
 
   /** Joomla Chunker.php:96-117: heading first — `str_word_count($text)`
-    * on the RAW (untrimmed) text, so e.g. a trailing "- \n" counts its
-    * hyphen where the trimmed form would e---drop it — then `[-*+]`
-    * list at ratio ≥ 0.5, else paragraph. */
+    * on the RAW (untrimmed) text, so a text ending "- \n" counts its
+    * hyphen where the trimmed form "… -" would drop it under the
+    * trailing-hyphen rule — then `[-*+]` list at ratio ≥ 0.5, else
+    * paragraph. */
   private val joomlaListRe = Pattern.compile("^(\\d+[.)]\\s|[-*+]\\s)")
   private def detectTypeJoomla(text: String): String = {
     val lines = phpTrim(text).split("\n", -1)
@@ -221,11 +221,11 @@ object AdapterChunker {
   /** WooCommerce class-chunker.php:140-157: list or paragraph ONLY — no
     * heading, no code/quote. The source class is `[-*•]` but see
     * [[Variant.Woo]]: the • is a dead byte-class alternative, so the
-    * effective class is `[-*]`. */
-  private val wooListRe = Pattern.compile("^(\\d+[.)]\\s|[-*]\\s)")
+    * effective pattern is exactly [[wpListRe]] (one shared source of
+    * truth for the PCRE-no-/u bullet class). */
   private def detectTypeWoo(text: String): String = {
     val lines = phpTrim(text).split("\n", -1)
-    val listLines = lines.count(l => wooListRe.matcher(phpTrim(l)).find())
+    val listLines = lines.count(l => wpListRe.matcher(phpTrim(l)).find())
     if (listLines > 0 && listLines >= lines.length / 2.0) "list"
     else "paragraph"
   }
@@ -298,23 +298,25 @@ object AdapterChunker {
     }
   }
 
-  /** PHP `strip_tags` (8.x): `<` begins a tag only when followed by a
-    * letter, `/`, `!` or `?` (a bare `1 < 2` stays text); `<!--`
-    * comments skip to `-->`; quotes inside a tag hide `>`; an
-    * unterminated tag swallows the rest. Unlike the canonical
+  /** PHP `strip_tags` (`php_strip_tags_ex`, ext/standard/string.c): `<`
+    * begins a tag unless the NEXT char is C-locale whitespace (`1 < 2`
+    * stays text, but `I <3 u` swallows from `<3` on, and a trailing `<`
+    * at end of string is dropped); `<!--` comments skip to `-->`;
+    * inside a tag, quotes hide `>` (and only the MATCHING quote closes
+    * — `alt="it's"` stays quoted through the apostrophe) and a nested
+    * `<` bumps a depth counter so its `>` doesn't close the outer tag;
+    * an unterminated tag swallows the rest. Unlike the canonical
     * tag-to-space regex, removed tags CONCATENATE their surrounding
     * text (`<p>a</p><p>b</p>` → `ab`). */
   private[extract] def phpStripTags(s: String): String = {
+    @inline def cSpace(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      val tagStart = c == '<' && i + 1 < n && {
-        val d = s.charAt(i + 1)
-        d == '/' || d == '!' || d == '?' ||
-          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z')
-      }
+      val tagStart = c == '<' && (i + 1 >= n || !cSpace(s.charAt(i + 1)))
       if (tagStart) {
         if (s.startsWith("<!--", i)) {
           val e = s.indexOf("-->", i + 4)
@@ -322,12 +324,16 @@ object AdapterChunker {
         } else {
           var j = i + 1
           var quote: Char = 0
+          var depth = 0
           var done = false
           while (j < n && !done) {
             val t = s.charAt(j)
             if (quote != 0) { if (t == quote) quote = 0; j += 1 }
             else if (t == '"' || t == '\'') { quote = t; j += 1 }
-            else if (t == '>') done = true
+            else if (t == '<' && (j + 1 >= n || !cSpace(s.charAt(j + 1)))) {
+              depth += 1; j += 1
+            }
+            else if (t == '>') { if (depth > 0) { depth -= 1; j += 1 } else done = true }
             else j += 1
           }
           i = if (done) j + 1 else n
@@ -366,7 +372,7 @@ object AdapterChunker {
     t = scriptStyleRe.matcher(t).replaceAll("")
     t = phpStripTags(t)
     t = phpTrim(wsRunRe.matcher(t).replaceAll(" "))
-    t = HtmlEntities.decode(t)
+    t = HtmlEntities.decodePhpHtml5(t)
     t = spaceTabRe.matcher(t).replaceAll(" ")
     t = manyNewlinesRe.matcher(t).replaceAll("\n\n")
     phpTrim(t)

@@ -83,6 +83,17 @@ object HtmlEntities {
     "sup" -> "⊃", "nsub" -> "⊄", "sube" -> "⊆",
     "supe" -> "⊇", "oplus" -> "⊕", "otimes" -> "⊗",
     "perp" -> "⊥", "sdot" -> "⋅",
+    // HTML 4.01 symbols missing from the original subset (card suits,
+    // ceilings/floors, script capitals, lozenge, angle brackets). NOTE
+    // lang/rang use the HTML 4.01 code points U+2329/U+232A — HTML5
+    // remapped those names to U+27E8/U+27E9, so the full HTML5 table
+    // deliberately disagrees here.
+    "hearts" -> "♥", "spades" -> "♠", "clubs" -> "♣",
+    "diams" -> "♦", "loz" -> "◊",
+    "lang" -> "\u2329", "rang" -> "\u232A",
+    "lceil" -> "⌈", "rceil" -> "⌉",
+    "lfloor" -> "⌊", "rfloor" -> "⌋",
+    "weierp" -> "℘", "image" -> "ℑ", "real" -> "ℜ",
     // Greek
     "Alpha" -> "Α", "Beta" -> "Β", "Gamma" -> "Γ",
     "Delta" -> "Δ", "Epsilon" -> "Ε", "Zeta" -> "Ζ",
@@ -116,16 +127,36 @@ object HtmlEntities {
   /** PHP `html_entity_decode($s, ENT_QUOTES, 'UTF-8')` with the default
     * HTML 4.01 table (the Joomla adapter's decode): the HTML4 names —
     * NOT `&apos;`, which is XML/HTML5-only and stays verbatim under
-    * ENT_HTML401 — and numeric references only WITH a terminating
-    * semicolon (PHP leaves `&#65` undecoded; the HTML5-parser decode
-    * above is lenient there). */
+    * ENT_HTML401 — and PHP's strict numerics (semicolon required,
+    * doctype-disallowed code points left verbatim). */
   def decodePhpHtml4(s: String): String =
-    decodeWith(s, html4Subset - "apos", numericSemicolonOptional = false)
+    decodeWith(s, html4Subset - "apos", numericSemicolonOptional = false,
+      phpNumericRules = true)
+
+  /** PHP `html_entity_decode($s, ENT_QUOTES | ENT_HTML5, 'UTF-8')` (the
+    * WooCommerce adapter's decode): the full HTML5 named table with
+    * PHP's strict numerics. (PHP's HTML5 table also carries ~100 legacy
+    * no-semicolon named forms this semicolon-required decoder leaves
+    * verbatim — the documented libxml2-parity seam.) */
+  def decodePhpHtml5(s: String): String =
+    decodeWith(s, named, numericSemicolonOptional = false,
+      phpNumericRules = true)
+
+  /** PHP `unicode_cp_is_allowed` (ext/standard/html.c, HTML doctypes):
+    * numeric references to C0/C1 controls (except tab/LF/CR), DEL, and
+    * surrogates are NOT decoded — html_entity_decode leaves them
+    * verbatim (`&#146;`, the scraped-Win-1252 smart quote, stays). */
+  private def phpCpAllowed(cp: Int): Boolean =
+    cp == 0x09 || cp == 0x0A || cp == 0x0D ||
+      (cp >= 0x20 && cp <= 0x7E) || (cp >= 0xA0 && cp <= 0xD7FF) ||
+      (cp >= 0xE000 && cp <= 0x10FFFF)
 
   /** [[decode]] against an arbitrary named table, with PHP-style strict
-    * (semicolon-required) or parser-style lenient numeric references. */
+    * (semicolon-required, disallowed-codepoint-verbatim) or parser-style
+    * lenient numeric references. */
   def decodeWith(s: String, table: Map[String, String],
-      numericSemicolonOptional: Boolean): String = {
+      numericSemicolonOptional: Boolean,
+      phpNumericRules: Boolean = false): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -148,7 +179,8 @@ object HtmlEntities {
               (numericSemicolonOptional || terminated)) {
             try {
               val cp = Integer.parseInt(s.substring(start, j), if (hex) 16 else 10)
-              if (Character.isValidCodePoint(cp) && cp != 0) {
+              if (Character.isValidCodePoint(cp) && cp != 0 &&
+                  (!phpNumericRules || phpCpAllowed(cp))) {
                 sb.appendCodePoint(cp)
                 i = if (terminated) j + 1 else j
                 handled = true

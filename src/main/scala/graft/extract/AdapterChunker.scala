@@ -3,12 +3,14 @@ package graft.extract
 import java.util.regex.Pattern
 
 /** The cross-adapter chunker covering ALL NINE of the reference's
-  * framework ports, which turn out to hold SIX distinct behaviors (see
+  * framework ports, which hold SEVEN distinct behaviors (see
   * [[Variant]]): express (the code/quote-detecting superset and the
   * default — `/root/reference/adapters/express/src/chunker.js:12-136`),
-  * WordPress (= Drupal), FastAPI, the TS trio (astro/nextjs/vite),
-  * Joomla (own clean + a character packing budget), and WooCommerce
-  * (own clean, 300-word budget, product ids).
+  * WordPress, FastAPI, the TS trio (astro/nextjs/vite), Joomla (own
+  * clean + a trim-joined character packing budget), WooCommerce (own
+  * clean, 300-word budget, product ids), and Drupal (own clean + a
+  * sum-of-paragraph-lengths 500-CHARACTER budget — NOT the WordPress
+  * word budget, and not Joomla's joined-candidate char budget either).
   */
 object AdapterChunker {
 
@@ -32,7 +34,15 @@ object AdapterChunker {
       * contribute nothing. Packing word budgets use `str_word_count` too
       * (class-chunker.php:112), paragraph filtering is PHP `array_filter`
       * (drops the falsy "0" paragraph, :100), and an all-content "0"
-      * returns no chunks (`empty($content)`, :95-97). */
+      * returns no chunks (`empty($content)`, :95-97). The clean is
+      * [[cleanWp]]: noisy-shortcode strip, core `strip_shortcodes`
+      * (registered tags only — unregistered `[markers]` SURVIVE), wp:
+      * block comments, `the_content` filters (wpautop modeled), then
+      * `wp_strip_all_tags` — concatenating PHP `strip_tags`, NO entity
+      * decode (class-chunker.php:53-81). Because wpautop rewraps every
+      * `\n\n` as `</p>\n<p>`, WP-cleaned paragraph boundaries are single
+      * newlines; a literal `\n\n` reaches the packer only through
+      * `<pre>` bodies. */
     case object Wp extends Variant
     /** `/root/reference/adapters/fastapi/openfeeder_fastapi/chunker.py:39-54`
       * — heading before list (like express) but NO code/quote detection,
@@ -57,20 +67,37 @@ object AdapterChunker {
     /** `/root/reference/adapters/woocommerce/includes/class-chunker.php`
       * — a 300-word `str_word_count` budget (:20), ids `p{product_id}_i`
       * (:121, no md5 — pass the product id as the `url` argument), clean
-      * via `wp_strip_all_tags($s, true)` whose remove_breaks collapses
-      * ALL whitespace runs to single spaces (:39-40) — so paragraph
-      * boundaries never survive and real content packs into ONE
-      * paragraph — then a FULL `html_entity_decode(…, ENT_QUOTES |
-      * ENT_HTML5)` (:43, the HTML5 table, not the 6-entity chain), and
-      * list-vs-paragraph-ONLY detection (:140-157) whose `[-*•]` bullet
-      * class is byte-compiled without /u: a real "• " line starts with
-      * byte 0xE2 whose continuation byte can never match `\s`, so the •
-      * alternative is DEAD for valid UTF-8 — effectively `[-*]`,
-      * replicated as such. PHP's ENT_HTML5 table also decodes ~100
-      * legacy no-semicolon forms (`&amp` etc.) that this repo's
-      * semicolon-required decoder deliberately leaves verbatim — the
-      * same documented seam as the libxml2 parity decision. */
+      * via core `strip_shortcodes` (REGISTERED tags only — see
+      * [[stripShortcodesCore]]; unregistered markers like `[ad id=3]`
+      * survive into the text, :36) then `wp_strip_all_tags($s, true)`
+      * whose remove_breaks collapses ALL whitespace runs to single
+      * spaces (:39-40) — so paragraph boundaries never survive and real
+      * content packs into ONE paragraph — then a FULL
+      * `html_entity_decode(…, ENT_QUOTES | ENT_HTML5)` (:43, the HTML5
+      * table with semicolon-required names — PHP parity, see
+      * [[HtmlEntities.decodePhpHtml5]]), and list-vs-paragraph-ONLY
+      * detection (:140-157) whose `[-*•]` bullet class is byte-compiled
+      * without /u: a real "• " line starts with byte 0xE2 whose
+      * continuation byte can never match `\s`, so the • alternative is
+      * DEAD for valid UTF-8 — effectively `[-*]`, replicated as such. */
     case object Woo extends Variant
+    /** `/root/reference/adapters/drupal/src/Service/ChunkerService.php`
+      * — the SEVENTH behavior: Drupal is NOT WordPress. Packing is a
+      * 500-CHARACTER budget (`CHARS_PER_CHUNK = 500`, :16): per
+      * paragraph `mb_strlen` (code points, :74), flush on `current_len +
+      * para_len > 500` where `current_len` is the SUM of paragraph
+      * lengths — the `"\n\n"` joiners are NOT counted (:77-86) — which
+      * differs from BOTH WP's 500 `str_word_count` words and Joomla's
+      * `mb_strlen` of the trim-JOINED candidate. The clean is its own
+      * (:29-41): plain concatenating PHP `strip_tags` (no shortcode or
+      * block-comment strip — Drupal has neither), full
+      * `html_entity_decode(ENT_QUOTES | ENT_HTML5)`, then the shared
+      * whitespace collapses. Detection and ids are genuinely shared
+      * with WP: list-before-heading with `[-*]` (:143-156) and
+      * md5(url)-prefixed ids (:95-116). Empty check is
+      * `empty(trim($content))` (:58) — the falsy "0" quirk applies to
+      * the trimmed cleaned text. */
+    case object Drupal extends Variant
   }
 
   final case class AChunk(id: String, text: String, chunkType: String,
@@ -135,6 +162,7 @@ object AdapterChunker {
     case Variant.Ts => detectTypeTs(text)
     case Variant.Joomla => detectTypeJoomla(text)
     case Variant.Woo => detectTypeWoo(text)
+    case Variant.Drupal => detectTypeWp(text) // ChunkerService.php:143-156 == WP's
   }
 
   /** astro/nextjs/vite chunker.ts detectType: heading first, then
@@ -356,26 +384,154 @@ object AdapterChunker {
     phpTrim(t)
   }
 
-  /** WooCommerce class-chunker.php `clean` (:31-50): shortcode strip,
-    * `wp_strip_all_tags($s, true)` — script/style removed WITH content,
-    * PHP strip_tags, then remove_breaks collapses EVERY whitespace run
-    * (`[\r\n\t ]+`) to one space, so no paragraph boundary survives —
-    * then the FULL HTML5 entity decode and the (now no-op) whitespace
-    * normalizations. See [[Variant.Woo]] for the legacy no-semicolon
-    * entity delta. */
+  /** WordPress core's default-registered shortcode tags: the media
+    * shortcodes from wp-includes/media.php (`add_shortcode` calls for
+    * wp_caption/caption/gallery/playlist/audio/video) plus class-wp-embed
+    * `embed`. The registered set is runtime site configuration; modeling
+    * it as exactly the core defaults is the closed-form choice — a site
+    * registering extra tags would strip more. Documented delta. */
+  private val coreShortcodeTags =
+    Seq("wp_caption", "caption", "gallery", "playlist", "audio", "video", "embed")
+  private val coreShortcodeSet = coreShortcodeTags.toSet
+
+  /** `get_shortcode_regex($tagnames)` (wp-includes/shortcodes.php),
+    * transliterated with the same groups: 1 = optional `[` escape,
+    * 2 = tag, 3 = attrs, 4 = self-closing `/`, 5 = body, 6 = optional
+    * `]` escape. */
+  private val coreShortcodeRe: Pattern = {
+    val tags = coreShortcodeTags.map(Pattern.quote).mkString("|")
+    Pattern.compile(
+      "\\[" +
+      "(\\[?)" +
+      "(" + tags + ")" +
+      "(?![\\w-])" +
+      "(" +
+        "[^\\]/]*" +
+        "(?:" +
+          "/(?!\\])" +
+          "[^\\]/]*" +
+        ")*?" +
+      ")" +
+      "(?:" +
+        "(/)" +
+        "\\]" +
+      "|" +
+        "\\]" +
+        "(?:" +
+          "(" +
+            "[^\\[]*+" +
+            "(?:" +
+              "\\[(?!/\\2\\])" +
+              "[^\\[]*+" +
+            ")*+" +
+          ")" +
+          "\\[/\\2\\]" +
+        ")?" +
+      ")" +
+      "(\\]?)")
+  }
+
+  /** `strip_shortcodes`'s present-tag precheck scanner
+    * (wp-includes/shortcodes.php `\[([^<>&/\[\]\x00-\x20=]++)`). */
+  private val shortcodeNameCandidateRe =
+    Pattern.compile("\\[([^<>&/\\[\\]\\x00-\\x20=]++)")
+
+  /** WP core `strip_shortcodes` (wp-includes/shortcodes.php), modeled on
+    * the DEFAULT registered set [[coreShortcodeTags]]: bodied removal of
+    * registered shortcodes (`strip_shortcode_tag` drops attrs AND body),
+    * `[[tag]]` escape unwrapping, and `do_shortcodes_in_html_tags`
+    * bracket-escaping so markers inside HTML elements/comments are
+    * untouched. Unregistered markers like `[ad id=3]` SURVIVE — pinned
+    * by golden. If no registered tag name appears, the input is returned
+    * byte-identical (the precheck short-circuits before the `&#91;`
+    * renormalization, exactly like core). */
+  private[extract] def stripShortcodesCore(content: String): String = {
+    if (!content.contains('[')) return content
+    val cm = shortcodeNameCandidateRe.matcher(content)
+    var present = false
+    while (!present && cm.find())
+      present = coreShortcodeSet.contains(cm.group(1))
+    if (!present) return content
+    // do_shortcodes_in_html_tags(ignore_html = true): pre-escape literal
+    // escaped brackets, then escape brackets INSIDE html tokens so the
+    // shortcode regex below (which runs on the whole string) cannot see
+    // them; unescape_invalid_shortcodes restores at the end.
+    var c = content.replace("&#91;", "&#091;").replace("&#93;", "&#093;")
+    c = Wpautop.replaceInHtmlTokens(
+      Wpautop.replaceInHtmlTokens(c, "[", "&#91;"), "]", "&#93;")
+    val m = coreShortcodeRe.matcher(c)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      // strip_shortcode_tag: [[tag]] unescapes; otherwise keep only the
+      // escape-group brackets (i.e. remove tag, attrs, and body)
+      val rep =
+        if (m.group(1) == "[" && m.group(6) == "]")
+          m.group(0).substring(1, m.group(0).length - 1)
+        else m.group(1) + m.group(6)
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString.replace("&#91;", "[").replace("&#93;", "]")
+  }
+
+  /** `wp_strip_all_tags($text, $remove_breaks)` (wp-includes/
+    * formatting.php): script/style removed WITH bodies, concatenating
+    * PHP `strip_tags`, optional `[\r\n\t ]+` → single-space collapse,
+    * PHP trim. NO entity decode — callers that want one (Woo, Drupal)
+    * apply it themselves. */
   private val scriptStyleRe = Pattern.compile(
     "<(script|style)[^>]*?>.*?</\\1>",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val wsRunRe = Pattern.compile("[\\r\\n\\t ]+")
-  def cleanWoo(content: String): String = {
-    var t = stripWpNoise(content)
-    t = scriptStyleRe.matcher(t).replaceAll("")
+  private[extract] def wpStripAllTags(s: String,
+      removeBreaks: Boolean = false): String = {
+    var t = scriptStyleRe.matcher(s).replaceAll("")
     t = phpStripTags(t)
-    t = phpTrim(wsRunRe.matcher(t).replaceAll(" "))
+    if (removeBreaks) t = wsRunRe.matcher(t).replaceAll(" ")
+    phpTrim(t)
+  }
+
+  /** WooCommerce class-chunker.php `clean` (:30-49): `empty($content)`
+    * early return (falsy "0" included), core `strip_shortcodes` ONLY
+    * (no noisy-tag loop — that is WP's own), `wp_strip_all_tags($s,
+    * true)` whose remove_breaks kills every paragraph boundary, the
+    * FULL HTML5 entity decode, and the (now mostly no-op) whitespace
+    * normalizations. */
+  def cleanWoo(content: String): String = {
+    if (content.isEmpty || content == "0") return ""
+    var t = stripShortcodesCore(content)
+    t = wpStripAllTags(t, removeBreaks = true)
     t = HtmlEntities.decodePhpHtml5(t)
     t = spaceTabRe.matcher(t).replaceAll(" ")
     t = manyNewlinesRe.matcher(t).replaceAll("\n\n")
     phpTrim(t)
+  }
+
+  /** Drupal ChunkerService.php `clean` (:29-41): plain concatenating
+    * PHP `strip_tags` (Drupal has no shortcodes, so nothing else is
+    * stripped), full `html_entity_decode(ENT_QUOTES | ENT_HTML5)`, then
+    * the `[ \t]+` / `\n{3,}` collapses and PHP trim. Entities decode
+    * AFTER the tag strip, so `&lt;b&gt;` surfaces as literal `<b>`
+    * text. */
+  def cleanDrupal(content: String): String = {
+    var t = phpStripTags(content)
+    t = HtmlEntities.decodePhpHtml5(t)
+    t = spaceTabRe.matcher(t).replaceAll(" ")
+    t = manyNewlinesRe.matcher(t).replaceAll("\n\n")
+    phpTrim(t)
+  }
+
+  /** Drupal ChunkerService.php `trimWords` (:120-127): PHP
+    * `preg_split('/\s+/', trim($text), $num_words + 1)` keeps the
+    * remainder in the last piece; if over budget the remainder is
+    * popped and a THREE-DOT "..." appended (not the Woo U+2026). Words
+    * are always re-joined with single spaces, so newlines in the input
+    * never survive a summary. Call sites: ContentController.php:186
+    * (40 words), :280 and :361 (30 words). */
+  def trimWordsDrupal(text: String, numWords: Int): String = {
+    val words = phpTrim(text).split("\\s+", numWords + 1)
+    if (words.length > numWords) words.take(numWords).mkString(" ") + "..."
+    else words.mkString(" ")
   }
 
   private val md5Local = ThreadLocal.withInitial(
@@ -414,11 +570,37 @@ object AdapterChunker {
     out.result()
   }
 
+  /** Drupal's packing (ChunkerService.php:73-91): also a 500-CHARACTER
+    * `mb_strlen` budget, but over the SUM of paragraph code-point
+    * lengths — the `"\n\n"` joiners are not counted, unlike Joomla's
+    * trim-joined candidate — with flush on `current_len + para_len >
+    * 500` only when `current_len > 0`, and a final flush on
+    * `current_text !== ''`. */
+  private def packDrupalChars(paragraphs: Array[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var current = ""
+    var currentLen = 0
+    paragraphs.foreach { p =>
+      val pLen = p.codePointCount(0, p.length)
+      if (currentLen > 0 && currentLen + pLen > 500) {
+        out += current
+        current = p
+        currentLen = pLen
+      } else {
+        current = if (current.isEmpty) p else current + "\n\n" + p
+        currentLen += pLen
+      }
+    }
+    if (current.nonEmpty) out += current
+    out.result()
+  }
+
   /** C2+C3+C5: paragraph split, greedy packing, prefixed ids —
     * chunker.js:82-122; `variant` selects the port's clean pipeline,
     * trim/word-count/type-detection string semantics, packing budget
-    * (500 words; Woo 300 words; Joomla 500 CHARACTERS), and id scheme
-    * (md5(url); Woo `p{product_id}` — pass the product id as `url`). */
+    * (500 words; Woo 300 words; Joomla 500 JOINED characters; Drupal
+    * 500 SUMMED characters), and id scheme (md5(url); Woo
+    * `p{product_id}` — pass the product id as `url`). */
   def chunkContent(html: String, url: String,
       variant: Variant = Variant.Express): Vector[AChunk] = {
     import Variant._
@@ -427,24 +609,28 @@ object AdapterChunker {
       case Wp => cleanWp(html)
       case Joomla => cleanJoomla(html)
       case Woo => cleanWoo(html)
+      case Drupal => cleanDrupal(html)
     }
     // PHP empty($content): "" AND the falsy string "0" yield no chunks
-    // (WP class-chunker.php:95, Woo :83; Joomla checks trim === '' only)
-    if (text.isEmpty || ((variant == Wp || variant == Woo) && text == "0"))
+    // (WP class-chunker.php:95, Woo :83; Drupal's `empty(trim($content))`
+    // :58 sees the already-trimmed cleaned text, so it lands here too;
+    // Joomla checks trim === '' only)
+    if (text.isEmpty ||
+        ((variant == Wp || variant == Woo || variant == Drupal) && text == "0"))
       return Vector.empty
     val trimF: String => String = variant match {
       case Express | Ts => jsTrim
-      case Wp | Joomla | Woo => phpTrim
+      case Wp | Joomla | Woo | Drupal => phpTrim
       case FastApi => pyStrip
     }
     val wcF: String => Int = variant match {
       case Express | Ts => countWords
-      case Wp | Joomla | Woo => phpStrWordCount
+      case Wp | Joomla | Woo | Drupal => phpStrWordCount
       case FastApi => pyCountWords
     }
     // PHP array_filter (no callback) also drops a falsy "0" paragraph
     val keep: String => Boolean = variant match {
-      case Wp | Joomla | Woo => p => p.nonEmpty && p != "0"
+      case Wp | Joomla | Woo | Drupal => p => p.nonEmpty && p != "0"
       case _ => p => p.nonEmpty
     }
     val paragraphs = paraSplitRe.split(text, -1).map(trimF).filter(keep)
@@ -452,6 +638,7 @@ object AdapterChunker {
 
     val chunkTexts: Vector[String] =
       if (variant == Joomla) packJoomlaChars(paragraphs)
+      else if (variant == Drupal) packDrupalChars(paragraphs)
       else {
         val budget = if (variant == Woo) 300 else WordsPerChunk
         val out = Vector.newBuilder[String]
@@ -481,9 +668,9 @@ object AdapterChunker {
   /** C7: WordPress shortcode / block-comment strip —
     * `/root/reference/adapters/wordpress/includes/class-chunker.php:28-81`.
     * 14 noisy shortcode tags (with optional body up to the closing tag),
-    * any remaining `[shortcode ...]` markers, and `<!-- wp:navigation -->`
-    * style block comments. The transcript analog: tool-call wrapper markup
-    * inside turn payloads. */
+    * then core `strip_shortcodes` over the registered set, and
+    * `<!-- wp:navigation -->` style block comments. The transcript
+    * analog: tool-call wrapper markup inside turn payloads. */
   private val stripShortcodes = Seq(
     "gallery", "embed", "video", "audio", "playlist", "caption", "ad",
     "adsense", "sidebar", "widget", "social", "share", "related_posts")
@@ -491,23 +678,41 @@ object AdapterChunker {
     val q = Pattern.quote(tag)
     Pattern.compile("\\[" + q + "[^\\]]*\\](?:.*?\\[/" + q + "\\])?", Pattern.DOTALL)
   }
-  /** `strip_shortcodes` residue: any leftover [tag ...] / [/tag] markers. */
-  private val anyShortcodeRe = Pattern.compile("\\[/?[a-zA-Z0-9_-]+[^\\]]*\\]")
   private val wpBlockCommentRe = Pattern.compile(
     "<!--\\s*wp:(navigation|widget|social-links|search|tag-cloud|categories|archives|calendar|rss|latest-comments)[\\s\\S]*?-->",
     Pattern.DOTALL)
 
+  /** The noise half of the WP clean (class-chunker.php:53-71): the
+    * 14-tag bodied loop, core `strip_shortcodes` (registered tags only —
+    * unregistered `[markers]` survive, exactly as in the reference,
+    * where `strip_shortcodes` consults the registered-tag table), and
+    * the wp: block-comment strip. */
   def stripWpNoise(content: String): String = {
     var c = content
     shortcodeRes.foreach(re => c = re.matcher(c).replaceAll(""))
-    c = anyShortcodeRe.matcher(c).replaceAll("")
+    c = stripShortcodesCore(c)
     c = wpBlockCommentRe.matcher(c).replaceAll("")
     c
   }
 
-  /** WP-variant clean: shortcode strip then the common tag strip pipeline
-    * (class-chunker.php:53-81). */
-  def cleanWp(content: String): String = cleanHtml(stripWpNoise(content))
+  /** The WP clean (class-chunker.php:53-81): [[stripWpNoise]], then
+    * `apply_filters('the_content')` — modeled as [[Wpautop]], the
+    * structural member of the default chain; do_blocks / wptexturize /
+    * convert_smilies / prepend_attachment / wp_filter_content_tags are
+    * site-configurable rendering filters left unmodeled (documented
+    * delta: wptexturize would curl quotes and dashes; do_shortcode is a
+    * no-op here because registered shortcodes were already stripped) —
+    * then `wp_strip_all_tags` (concatenating; NO entity decode — a
+    * literal `&amp;` stays `&amp;` in WP-cleaned text), and the
+    * whitespace normalizations + PHP trim. */
+  def cleanWp(content: String): String = {
+    var t = stripWpNoise(content)
+    t = Wpautop(t)
+    t = wpStripAllTags(t)
+    t = spaceTabRe.matcher(t).replaceAll(" ")
+    t = manyNewlinesRe.matcher(t).replaceAll("\n\n")
+    phpTrim(t)
+  }
 
   /** WooCommerce `summarize` (class-chunker.php:58-73): source = the
     * short description unless PHP-empty (the falsy "0" counts as

@@ -124,6 +124,12 @@ object HtmlEntities {
   def decode(s: String): String =
     decodeWith(s, named, numericSemicolonOptional = true)
 
+  /** PHP html_entity_decode doctype selector (ENT_HTML401 vs ENT_HTML5):
+    * picks the `unicode_cp_is_allowed` row for numeric references. */
+  private[extract] sealed trait PhpDoctype
+  private[extract] case object PhpHtml401 extends PhpDoctype
+  private[extract] case object PhpHtml5 extends PhpDoctype
+
   /** PHP `html_entity_decode($s, ENT_QUOTES, 'UTF-8')` with the default
     * HTML 4.01 table (the Joomla adapter's decode): the HTML4 names —
     * NOT `&apos;`, which is XML/HTML5-only and stays verbatim under
@@ -131,32 +137,64 @@ object HtmlEntities {
     * doctype-disallowed code points left verbatim). */
   def decodePhpHtml4(s: String): String =
     decodeWith(s, html4Subset - "apos", numericSemicolonOptional = false,
-      phpNumericRules = true)
+      phpNumericRules = true, phpDoctype = PhpHtml401)
 
   /** PHP `html_entity_decode($s, ENT_QUOTES | ENT_HTML5, 'UTF-8')` (the
-    * WooCommerce adapter's decode): the full HTML5 named table with
-    * PHP's strict numerics. (PHP's HTML5 table also carries ~100 legacy
-    * no-semicolon named forms this semicolon-required decoder leaves
-    * verbatim — the documented libxml2-parity seam.) */
+    * WooCommerce and Drupal adapters' decode): the full HTML5 named
+    * table, PHP's strict numerics, and the HTML5 row of
+    * `unicode_cp_is_allowed` (U+000C decodes here; noncharacters do
+    * not).
+    *
+    * Semicolon-required named references ARE PHP parity, not a seam: the
+    * W3C HTML5 entity list carries ~100 legacy no-semicolon forms
+    * (`&amp`, `&lt`, …) that browsers honor while PARSING, but PHP's
+    * `html_entity_decode` never reaches them — php-src
+    * ext/standard/html.c `process_named_entity_html` scans `while (*p !=
+    * ';')` accepting only `[A-Za-z0-9]` and returns FAILURE on anything
+    * else, and `traverse_for_entities` asserts `*next == ';'` before the
+    * table lookup. So `html_entity_decode('&amp X', ENT_QUOTES |
+    * ENT_HTML5)` returns `&amp X` verbatim in every PHP version with the
+    * 5.4+ decoder, exactly as this decoder does (golden-pinned in
+    * AdapterChunkerSpec). */
   def decodePhpHtml5(s: String): String =
     decodeWith(s, named, numericSemicolonOptional = false,
-      phpNumericRules = true)
+      phpNumericRules = true, phpDoctype = PhpHtml5)
 
-  /** PHP `unicode_cp_is_allowed` (ext/standard/html.c, HTML doctypes):
-    * numeric references to C0/C1 controls (except tab/LF/CR), DEL, and
-    * surrogates are NOT decoded — html_entity_decode leaves them
-    * verbatim (`&#146;`, the scraped-Win-1252 smart quote, stays). */
-  private def phpCpAllowed(cp: Int): Boolean =
-    cp == 0x09 || cp == 0x0A || cp == 0x0D ||
-      (cp >= 0x20 && cp <= 0x7E) || (cp >= 0xA0 && cp <= 0xD7FF) ||
-      (cp >= 0xE000 && cp <= 0x10FFFF)
+  /** PHP `unicode_cp_is_allowed` (ext/standard/html.c): numeric
+    * references to doctype-disallowed code points are NOT decoded —
+    * html_entity_decode leaves them verbatim (`&#146;`, the
+    * scraped-Win-1252 smart quote, stays under both doctypes).
+    *
+    *  - HTML 4.01: tab/LF/CR, 0x20-0x7E, 0xA0-0xD7FF, 0xE000-0x10FFFF
+    *    (C0/C1 controls, DEL, and surrogates excluded).
+    *  - HTML 5: additionally allows U+000C (form feed) but excludes the
+    *    Unicode noncharacters — U+FDD0-U+FDEF and every code point whose
+    *    low 16 bits are FFFE/FFFF (`(code & 0xFFFF) >= 0xFFFE` in the C
+    *    source's own comment).
+    */
+  private def phpCpAllowed(cp: Int, doctype: PhpDoctype): Boolean =
+    doctype match {
+      case PhpHtml401 =>
+        cp == 0x09 || cp == 0x0A || cp == 0x0D ||
+          (cp >= 0x20 && cp <= 0x7E) || (cp >= 0xA0 && cp <= 0xD7FF) ||
+          (cp >= 0xE000 && cp <= 0x10FFFF)
+      case PhpHtml5 =>
+        cp == 0x09 || cp == 0x0A || cp == 0x0C || cp == 0x0D ||
+          (cp >= 0x20 && cp <= 0x7E) || (cp >= 0xA0 && cp <= 0xD7FF) ||
+          (((cp >= 0xE000 && cp <= 0xFDCF) ||
+            (cp >= 0xFDF0 && cp <= 0x10FFFF)) && (cp & 0xFFFF) < 0xFFFE)
+    }
 
   /** [[decode]] against an arbitrary named table, with PHP-style strict
     * (semicolon-required, disallowed-codepoint-verbatim) or parser-style
-    * lenient numeric references. */
+    * lenient numeric references. PHP numerics follow `strtol`: leading
+    * zeros are unbounded (`&#000000000065;` decodes), the parsed VALUE
+    * is what's capped (> 0x10FFFF fails verbatim, process_numeric_entity
+    * in ext/standard/html.c). */
   def decodeWith(s: String, table: Map[String, String],
       numericSemicolonOptional: Boolean,
-      phpNumericRules: Boolean = false): String = {
+      phpNumericRules: Boolean = false,
+      phpDoctype: PhpDoctype = PhpHtml401): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -175,12 +213,18 @@ object HtmlEntities {
           while (j < n && (if (hex) Character.digit(s.charAt(j), 16) >= 0
                            else s.charAt(j) >= '0' && s.charAt(j) <= '9')) j += 1
           val terminated = j < n && s.charAt(j) == ';'
-          if (j > start && j - start <= 7 &&
+          // PHP's strtol skips leading zeros, so its 7-significant-digit
+          // cap is a VALUE cap; the lenient parser path keeps its
+          // raw-length cap (libxml2 parity, pinned elsewhere)
+          var sig = start
+          if (phpNumericRules) while (sig < j - 1 && s.charAt(sig) == '0') sig += 1
+          val lenOk = if (phpNumericRules) j - sig <= 7 else j - start <= 7
+          if (j > start && lenOk &&
               (numericSemicolonOptional || terminated)) {
             try {
-              val cp = Integer.parseInt(s.substring(start, j), if (hex) 16 else 10)
+              val cp = Integer.parseInt(s.substring(sig, j), if (hex) 16 else 10)
               if (Character.isValidCodePoint(cp) && cp != 0 &&
-                  (!phpNumericRules || phpCpAllowed(cp))) {
+                  (!phpNumericRules || phpCpAllowed(cp, phpDoctype))) {
                 sb.appendCodePoint(cp)
                 i = if (terminated) j + 1 else j
                 handled = true

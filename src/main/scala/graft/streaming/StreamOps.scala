@@ -92,7 +92,18 @@ object StreamOps {
     * client-IP cardinality grows the state store monotonically forever.
     * `ttlMs = 0` uses NoTimeout (deterministic tests — with a positive
     * TTL the engine runs timer batches, so tests must poll the sink
-    * instead of `processAllAvailable()`). */
+    * instead of `processAllAvailable()`).
+    *
+    * HEAP BOUND of the per-group sort: `batch.toVector.sortBy` below
+    * materializes ONE (ip, endpoint) bucket's requests from ONE
+    * micro-batch in a single task's heap — O(hottest bucket's arrivals
+    * per trigger), NOT unbounded history like the pre-r5 batch path.
+    * Size triggers so that (hottest bucket rate × trigger interval)
+    * fits an executor's task heap: a 10 kreq/s hot IP on a 10 s trigger
+    * is ~10⁵ tiny rows ≈ a few MB — fine; a 10 MINUTE trigger on the
+    * same bucket is 6×10⁶ rows and the trigger, not this operator, is
+    * what must shrink. The batch-mode twin (RateLimits.simulate)
+    * streams with O(limit) state and has no such bound to size. */
   def rateLimitDecisions(reqs: Dataset[graft.query.RateLimits.Req],
       ttlMs: Long = 300000L)
       : Dataset[graft.query.RateLimits.Decision] = {
@@ -143,7 +154,15 @@ object StreamOps {
     * (deterministic tests; with a positive TTL the engine keeps running
     * timer micro-batches, so `noNewData` never latches and
     * `processAllAvailable()` blocks forever — production uses a real
-    * trigger interval, tests poll the sink). */
+    * trigger interval, tests poll the sink).
+    *
+    * HEAP BOUND: the per-group `batch.toVector.sortBy` holds one
+    * conversation's turns from ONE micro-batch in one task's heap —
+    * bounded by (per-conversation arrival rate × trigger interval).
+    * Turn payloads are KB-sized, so the trigger must keep the hottest
+    * conversation's per-trigger volume in task-heap range; the batch
+    * path (ExtractJob.withTurnPos) has no such bound — it window-sorts
+    * distributedly. */
   def streamingExtractWithTurnPos(turns: Dataset[Turn], ttlMs: Long = 300000L)
       : Dataset[graft.model.ExtractedTurn] = {
     import turns.sparkSession.implicits._
@@ -201,7 +220,13 @@ object StreamOps {
     * a `respond` with no live session emits `session_expired` (the
     * SESSION_EXPIRED error path). State = one tiny row per open session,
     * dropped on answer or timeout — bounded like the reference's swept
-    * Map. `ttlMs = 0` uses NoTimeout (deterministic tests). */
+    * Map. `ttlMs = 0` uses NoTimeout (deterministic tests).
+    *
+    * HEAP BOUND: the per-group `batch.toVector.sortBy` holds one
+    * SESSION's events from one micro-batch in one task's heap. A
+    * session is a single dialogue (a handful of cold_start/respond
+    * events), so any sane trigger keeps this in bytes — the bound is
+    * per session id, not per IP or per site. */
   def dialogueSessions(events: Dataset[GwEvent], ttlMs: Long = 300000L)
       : Dataset[GwOut] = {
     import events.sparkSession.implicits._

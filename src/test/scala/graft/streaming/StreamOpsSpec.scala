@@ -271,6 +271,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.contains(("gw_1", "session_expired", "", "/again")))
   }
 
+  test("group-sort heap bound: cross-batch state stays O(limit) even for a hot bucket") {
+    // The scaladoc'd heap bound of the flatMapGroupsWithState operators
+    // rests on one assumption: the per-TRIGGER batch Vector is the ONLY
+    // term proportional to traffic — everything CARRIED across triggers
+    // is O(limit). Pin that: replay a 50k-request hot-bucket micro-batch
+    // through the same decideBucket the streaming operator calls and
+    // assert the carried window queue never exceeds the bucket limit.
+    import graft.query.RateLimits
+    val limit = 60
+    val reqs = (0 until 50000).map { i =>
+      RateLimits.Req(ip = 167772161L, endpoint = "/api/search",
+        sec = (i / 100).toLong, event_id = i.toLong, limit_rpm = limit)
+    }
+    val q = scala.collection.mutable.ArrayDeque.empty[Long]
+    val out = RateLimits.decideBucket(reqs, q)
+    assert(out.size == 50000)
+    assert(q.size <= limit) // carried state: at most `limit` timestamps
+    // and the window bound held throughout: per 60 s window, exactly
+    // `limit` admissions
+    assert(out.count(_.allowed) == (reqs.last.sec / 60 + 1) * limit)
+  }
+
   test("wp shortcode strip (C7)") {
     import graft.extract.AdapterChunker
     val content = "[gallery ids=\"1,2\"]\nReal paragraph one stays.\n\n" +
@@ -281,6 +303,9 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(cleaned.contains("Real paragraph one stays."))
     assert(cleaned.contains("Real paragraph two stays."))
     assert(!cleaned.contains("gallery") && !cleaned.contains("ignored body"))
-    assert(!cleaned.contains("wp:navigation") && !cleaned.contains("unknown_tag"))
+    assert(!cleaned.contains("wp:navigation"))
+    // core strip_shortcodes consults the REGISTERED tag table:
+    // unregistered markers survive the faithful WP clean verbatim
+    assert(cleaned.contains("[unknown_tag attr=1]"))
   }
 }

@@ -2318,6 +2318,88 @@ object Queries {
              ELSE array_to_string(ws[1:40], ' ') || '...' END AS summary
       FROM w ORDER BY doc_id, chunk_id"""))
 
+  /** The Drupal adapter pipeline (the SEVENTH chunker behavior —
+    * `/root/reference/adapters/drupal/src/Service/ChunkerService.php`)
+    * over synthetic multi-paragraph nodes: 4 documents = 1 node,
+    * `\n\n`-joined in doc_id order, then clean → the distinctive
+    * 500-character SUM-of-`mb_strlen` packing (joiners uncounted) →
+    * md5(url) ids → list-before-heading typing → `trimWords(…, 40)`
+    * summary (ContentController.php:186). The DuckDB oracle replays the
+    * greedy packer EXACTLY with a recursive CTE over per-node paragraph
+    * indexes, so the char-sum flush rule is oracle-checked rather than
+    * golden-pinned. Shape: one hash shuffle on node_id; each group is
+    * O(paragraphs-per-node) = 4 — nodes are the parallel unit, so the
+    * plan is flat at any corpus size. */
+  private val xAdapterDrupal = Q(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import graft.extract.AdapterChunker
+      rd(s, dir, "documents")
+        .select((col("doc_id") / lit(4)).cast("long").as("node_id"),
+          col("doc_id"), col("text"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroups { (nodeId: Long, rows: Iterator[(Long, Long, String)]) =>
+          val body = rows.toVector.sortBy(_._2).map(_._3).mkString("\n\n")
+          val url = s"https://drupal.example/node/$nodeId"
+          val cleaned = AdapterChunker.cleanDrupal(body)
+          val summary = AdapterChunker.trimWordsDrupal(cleaned, 40)
+          AdapterChunker.chunkContent(body, url, AdapterChunker.Variant.Drupal)
+            .zipWithIndex.map { case (c, i) =>
+              (nodeId, c.id, i.toLong, c.chunkType,
+                c.text.codePointCount(0, c.text.length).toLong, c.text, summary)
+            }
+        }
+        .toDF("node_id", "chunk_id", "chunk_idx", "chunk_type", "n_chars",
+          "text", "summary")
+        .orderBy("node_id", "chunk_idx")
+    },
+    Some("""WITH RECURSIVE paras AS (
+        SELECT doc_id // 4 AS node_id, doc_id,
+          trim(regexp_replace(text, '[ \t]+', ' ', 'g')) AS para
+        FROM documents
+      ), ordered AS (
+        SELECT node_id, doc_id, para, length(para) AS plen,
+          row_number() OVER (PARTITION BY node_id ORDER BY doc_id) AS idx
+        FROM paras WHERE para <> '' AND para <> '0'
+      ), walk AS (
+        SELECT node_id, idx, para AS cur_text, plen AS cur_len, 0 AS chunk_idx
+        FROM ordered WHERE idx = 1
+        UNION ALL
+        SELECT o.node_id, o.idx,
+          CASE WHEN w.cur_len + o.plen > 500 THEN o.para
+               ELSE w.cur_text || chr(10) || chr(10) || o.para END,
+          CASE WHEN w.cur_len + o.plen > 500 THEN o.plen
+               ELSE w.cur_len + o.plen END,
+          CASE WHEN w.cur_len + o.plen > 500 THEN w.chunk_idx + 1
+               ELSE w.chunk_idx END
+        FROM walk w JOIN ordered o
+          ON o.node_id = w.node_id AND o.idx = w.idx + 1
+      ), chunks AS (
+        SELECT node_id, chunk_idx, max_by(cur_text, idx) AS text
+        FROM walk GROUP BY node_id, chunk_idx
+      ), summ AS (
+        SELECT node_id,
+          regexp_split_to_array(string_agg(para, ' ' ORDER BY doc_id), ' +') AS ws
+        FROM paras WHERE para <> ''
+        GROUP BY node_id
+      )
+      SELECT c.node_id,
+        md5('https://drupal.example/node/' || c.node_id)
+          || '_' || c.chunk_idx AS chunk_id,
+        CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+        CASE WHEN strpos(c.text, chr(10)) = 0
+               AND len(regexp_split_to_array(c.text, ' +')) < 15
+             THEN 'heading' ELSE 'paragraph' END AS chunk_type,
+        length(c.text) AS n_chars,
+        c.text,
+        CASE WHEN len(s.ws) > 40
+             THEN array_to_string(s.ws[1:40], ' ') || '...'
+             ELSE array_to_string(s.ws, ' ') END AS summary
+      FROM chunks c JOIN summ s ON s.node_id = c.node_id
+      ORDER BY c.node_id, c.chunk_idx"""))
+
   /** Deterministic synthetic gateway request log derived from documents
     * (no external data): cycles methods, paths, UAs, and intent presence
     * so every routing branch is exercised. */
@@ -2942,6 +3024,7 @@ object Queries {
     "e_extract_html_oracle" -> eExtractHtmlOracle,
     "e_adapter_chunks" -> eAdapterChunks,
     "e_adapter_docs_oracle" -> eAdapterDocsOracle,
+    "x_adapter_drupal" -> xAdapterDrupal,
     "v_validate" -> vValidate,
   )
 

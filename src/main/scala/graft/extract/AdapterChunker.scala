@@ -336,7 +336,7 @@ object AdapterChunker {
     * an unterminated tag swallows the rest. Unlike the canonical
     * tag-to-space regex, removed tags CONCATENATE their surrounding
     * text (`<p>a</p><p>b</p>` → `ab`). */
-  private[extract] def phpStripTags(s: String): String = {
+  def phpStripTags(s: String): String = {
     @inline def cSpace(c: Char) =
       c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     val sb = new java.lang.StringBuilder(s.length)
@@ -730,6 +730,42 @@ object AdapterChunker {
       if (words.length > 50) words.take(50).mkString(" ") + "…" else text
     }
   }
+
+  /** WP core `wp_trim_words($text, $num_words, $more)` (wp-includes/
+    * formatting.php) — the WP content API's excerpt fallback is
+    * `wp_trim_words(wp_strip_all_tags($post->post_content), 30, '...')`
+    * (class-content-api.php:508): strip all tags (again — the function
+    * strips internally too), split on `[\n\r\t ]+` with
+    * PREG_SPLIT_NO_EMPTY — note the charset is NOT PHP `\s`: `\f` and
+    * `\v` are word-INTERNAL here, unlike [[trimWordsDrupal]]'s `\s+` —
+    * keep at most `numWords`, re-join with single spaces, append `more`
+    * only when truncated. The preg_split limit slot consumed by a
+    * leading empty piece (input starting with whitespace) is consumed
+    * in PHP too: split-then-filter order is faithful. */
+  def wpTrimWords(text: String, numWords: Int, more: String): String = {
+    val words = wpStripAllTags(text)
+      .split("[\\n\\r\\t ]+", numWords + 1).filter(_.nonEmpty)
+    if (words.length > numWords) words.take(numWords).mkString(" ") + more
+    else words.mkString(" ")
+  }
+
+  /** Joomla ContentController `generateSummary` (:355-368) — the FOURTH
+    * summary behavior across the ports (express/TS `summarise`, Woo
+    * 50-word U+2026, Drupal `trimWords`, WP `wp_trim_words`):
+    * concatenating `strip_tags`, `html_entity_decode(ENT_QUOTES)` —
+    * the HTML **4.01** table, NOT ENT_HTML5 — `\s+` → one space, PHP
+    * trim, then `explode(' ')` (exact single-space split, safe because
+    * the text was just normalized) capped at 40 words + three-dot
+    * "...". */
+  def summariseJoomla(introtext: String): String = {
+    var t = phpStripTags(introtext)
+    t = HtmlEntities.decodePhpHtml4(t)
+    t = phpWsRe.matcher(t).replaceAll(" ")
+    t = phpTrim(t)
+    val words = t.split(" ", -1)
+    if (words.length > 40) words.take(40).mkString(" ") + "..." else t
+  }
+  private val phpWsRe = Pattern.compile("\\s+")
 
   /** C6: first ~40 words + "..." — chunker.js:131-136 (the TS trio's
     * summarise is line-identical). */

@@ -2400,6 +2400,311 @@ object Queries {
       FROM chunks c JOIN summ s ON s.node_id = c.node_id
       ORDER BY c.node_id, c.chunk_idx"""))
 
+  // ---- Adapter search variants -----------------------------------------
+  // The nine ports hold FOUR search behaviors (found the same way as the
+  // chunker matrix — reading all nine side by side):
+  //  1. express/astro/nextjs/vite/fastapi: UNSCORED substring filter on
+  //     title+content applied AFTER the page fetch — search narrows the
+  //     requested page only, and total_pages stays the UNFILTERED total
+  //     (content.js:305-332, content.ts:140-151, router.py:274-283).
+  //  2. Drupal: scored 0.6 title-contains + 0.3 exact-title + 0.4
+  //     body-contains, capped at 1.0, over the union of two PRE-LIMITED
+  //     entity queries (title hits first), stable-sorted by relevance
+  //     (ContentController.php:320-404).
+  //  3. Joomla: SQL CASE relevance — title LIKE 1.0 + introtext LIKE 0.5,
+  //     UNCAPPED (both-match rows score 1.5) — ordered relevance DESC,
+  //     created DESC, paged by ITEMS_PER_PAGE=20 while the handler's
+  //     $limit argument is DEAD (ContentController.php:222-296).
+  //  4. WordPress/Woo: WP_Query native 's' search (title OR excerpt OR
+  //     content LIKE per term), date-DESC order, excerpt-or-wp_trim_words
+  //     summaries (class-content-api.php:455-520).
+
+  /** Deterministic searchable corpus shared by the search-variant
+    * queries — title/excerpt derived from documents IDENTICALLY in Spark
+    * and the DuckDB oracles (no external data). Titles are PLANTED, not
+    * text prefixes, so title-match and body-match are independent and
+    * every scoring tier materializes: doc_id % 97 → exact-title "merge"
+    * (Drupal's +0.3 bonus and the 1.0 cap), doc_id % 13 → a
+    * title-contains row (0.6/1.0 Drupal tiers; 1.0/1.5 Joomla tiers vs
+    * 0.5 body-only), everything else title-miss. doc_id % 3 selects
+    * excerpt-present rows so WP's excerpt-vs-wp_trim_words fallback is
+    * exercised both ways. */
+  private def searchCorpus(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(97)) === 0, lit("merge"))
+        .when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit("Doc "), col("doc_id"), lit(" merge notes")))
+        .otherwise(concat(lit("Doc "), col("doc_id"))).as("title"),
+      when(pmod(col("doc_id"), lit(3)) === 0, substring(col("text"), 25, 48))
+        .otherwise(lit("")).as("excerpt"),
+      col("text").as("content"),
+      col("source"))
+
+  private val searchCorpusSql =
+    """corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN 'merge'
+               WHEN doc_id % 13 = 0 THEN 'Doc ' || doc_id || ' merge notes'
+               ELSE 'Doc ' || doc_id END AS title,
+          CASE WHEN doc_id % 3 = 0 THEN substr(text, 25, 48) ELSE '' END AS excerpt,
+          text AS content, source
+        FROM documents
+      )"""
+
+  /** Behavior 1 — the express-family search call-site quirk: the filter
+    * runs on the PAGE SLICE (after pagination AND the excluded-path
+    * filter), so a search can return fewer than `limit` items while
+    * `total_pages` still reflects the unfiltered corpus. Page order is
+    * the host index's newest-first (doc_id DESC recency proxy); summary
+    * is the express 40-word `summarise`. Plan: TakeOrderedAndProject for
+    * the page slice + a broadcast 1-row total — no global window. */
+  private val xSearchExpressFamily = Q(
+    (s, dir) => {
+      val q = ("<b>MERGE</b>" + " pad" * 100) // sanitize: strip tags, 200 cap,
+        .replaceAll("<[^>]*>", "").take(200).takeWhile(_ != ' ').toLowerCase
+      val corpus = searchCorpus(s, dir)
+      val total = corpus.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), ceil(col("n") / lit(25.0)).cast("long"))
+          .as("total_pages"))
+      val summariseUdf = udf((c: String) => graft.extract.AdapterChunker.summarise(c))
+      corpus
+        .orderBy(col("doc_id").desc).offset(25).limit(25) // page=2, limit=25
+        .filter(!col("source").startsWith("src1"))        // excludePaths
+        .filter(lower(col("title")).contains(q) || lower(col("content")).contains(q))
+        .select(col("doc_id"), col("title"),
+          summariseUdf(col("content")).as("summary"))
+        .crossJoin(broadcast(total))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $searchCorpusSql,
+      pg AS (SELECT * FROM corpus ORDER BY doc_id DESC LIMIT 25 OFFSET 25),
+      filt AS (
+        SELECT doc_id, title, content FROM pg
+        WHERE source NOT LIKE 'src1%'
+          AND (contains(lower(title), 'merge') OR contains(lower(content), 'merge'))
+      ),
+      tot AS (
+        SELECT greatest(1, CAST(ceil(count(*) / 25.0) AS BIGINT)) AS total_pages
+        FROM corpus
+      ),
+      wsx AS (
+        SELECT doc_id, title,
+          trim(regexp_replace(content, '[ \t]+', ' ', 'g')) AS cleaned
+        FROM filt
+      )
+      SELECT doc_id, title,
+        CASE WHEN len(regexp_split_to_array(cleaned, '\\s+')) <= 40 THEN cleaned
+             ELSE array_to_string(regexp_split_to_array(cleaned, '\\s+')[1:40], ' ')
+               || '...' END AS summary,
+        (SELECT total_pages FROM tot) AS total_pages
+      FROM wsx ORDER BY doc_id"""))
+
+  /** Behavior 2 — Drupal's scored search (ContentController.php:320-404):
+    * two PRE-LIMITED entity queries (title-contains, body-contains, 10
+    * rows each in nid order — the clamped default limit), merged with
+    * title hits first and deduped keeping first position
+    * (array_unique), sliced to 10, scored 0.6/+0.3-exact/+0.4-body with
+    * `min(…, 1.0)` and `round(…, 2)`, then stable-sorted by relevance
+    * DESC (PHP ≥ 8.0 usort is stable, and Drupal requires PHP 8.1, so
+    * ties keep merge order). Body text and the 30-word summary go
+    * through plain `strip_tags`, NOT the chunker clean (:357,361).
+    * Plans as two TopK branches + a ≤20-row union — the windows below
+    * run on post-limit micro-sets, never on the corpus. */
+  private val xSearchDrupalScored = Q(
+    (s, dir) => {
+      val q = "merge"
+      val corpus = searchCorpus(s, dir) // two cheap pushdown scans; no cache to own
+      val stripUdf = udf((c: String) => graft.extract.AdapterChunker.phpStripTags(c))
+      def branch(pred: Column, rank: Int) = corpus.filter(pred)
+        .orderBy("doc_id").limit(10)
+        .withColumn("branch", lit(rank))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("branch").orderBy("doc_id")))
+      val title10 = branch(lower(col("title")).contains(q), 0)
+      val body10 = branch(lower(stripUdf(col("content"))).contains(q), 1)
+      val trimUdf = udf((c: String) =>
+        graft.extract.AdapterChunker.trimWordsDrupal(
+          graft.extract.AdapterChunker.phpStripTags(c), 30))
+      val out = title10.unionByName(body10)
+        .groupBy(col("doc_id"), col("title"), col("content"))
+        .agg(min(struct(col("branch"), col("r"))).as("mo")) // array_unique: first pos
+        .orderBy(col("mo")).limit(10)                        // array_slice(…, 0, 10)
+        .select(col("doc_id"), col("title"), col("content"), col("mo"),
+          round(least(
+            when(lower(col("title")).contains(q), lit(0.6)).otherwise(lit(0.0)) +
+            when(lower(col("title")) === q, lit(0.3)).otherwise(lit(0.0)) +
+            when(lower(stripUdf(col("content"))).contains(q), lit(0.4))
+              .otherwise(lit(0.0)),
+            lit(1.0)), 2).as("relevance"))
+        .select(col("doc_id"), col("title"), col("relevance"),
+          trimUdf(col("content")).as("summary"), col("mo"))
+        .orderBy(col("relevance").desc, col("mo")) // stable usort: ties in merge order
+        .drop("mo")
+      out
+    },
+    Some(s"""WITH $searchCorpusSql,
+      tb AS (
+        SELECT doc_id, title, content, 0 AS branch,
+          row_number() OVER (ORDER BY doc_id) AS r
+        FROM (SELECT * FROM corpus
+              WHERE contains(lower(title), 'merge')
+              ORDER BY doc_id LIMIT 10)
+      ),
+      bb AS (
+        SELECT doc_id, title, content, 1 AS branch,
+          row_number() OVER (ORDER BY doc_id) AS r
+        FROM (SELECT * FROM corpus
+              WHERE contains(lower(content), 'merge')
+              ORDER BY doc_id LIMIT 10)
+      ),
+      merged AS (
+        SELECT doc_id, title, content, min(branch * 100 + r) AS mo
+        FROM (SELECT * FROM tb UNION ALL SELECT * FROM bb)
+        GROUP BY doc_id, title, content
+        ORDER BY mo LIMIT 10
+      ),
+      scored AS (
+        SELECT doc_id, title, content, mo,
+          round(least(
+            (CASE WHEN contains(lower(title), 'merge') THEN 0.6 ELSE 0.0 END) +
+            (CASE WHEN lower(title) = 'merge' THEN 0.3 ELSE 0.0 END) +
+            (CASE WHEN contains(lower(content), 'merge') THEN 0.4 ELSE 0.0 END),
+            1.0), 2) AS relevance
+        FROM merged
+      ),
+      ws2 AS (
+        SELECT doc_id, title, relevance, mo,
+          regexp_split_to_array(trim(regexp_replace(content, '[ \t]+', ' ', 'g')),
+            '\\s+') AS ws
+        FROM scored
+      )
+      SELECT doc_id, title, relevance,
+        CASE WHEN len(ws) > 30 THEN array_to_string(ws[1:30], ' ') || '...'
+             ELSE array_to_string(ws, ' ') END AS summary
+      FROM ws2 ORDER BY relevance DESC, mo"""))
+
+  /** Behavior 3 — Joomla's SQL-side scorer (ContentController.php:222-296):
+    * relevance = CASE title LIKE THEN 1.0 + CASE introtext LIKE THEN 0.5
+    * — UNCAPPED, both-match rows score 1.5 (vs Drupal's min(…,1.0)) —
+    * over state=1 rows matching either, ordered relevance DESC then
+    * created DESC (doc_id recency proxy), paged LIMIT 20 OFFSET
+    * (page-1)*20 with the handler's `$limit` argument DEAD
+    * (ITEMS_PER_PAGE=20 everywhere, :23,242), total_pages from the
+    * match count. LIKE is modeled case-insensitive (MySQL default
+    * collation; documented). Summary = [[AdapterChunker.summariseJoomla]]
+    * (strip_tags + ENT_QUOTES HTML-4.01 decode + 40-word cap). Plans as
+    * filter → TakeOrderedAndProject, no window. */
+  private val xSearchJoomlaSql = Q(
+    (s, dir) => {
+      val q = "merge"
+      val corpus = searchCorpus(s, dir)
+      val titleHit = lower(col("title")).contains(q)
+      val bodyHit = lower(col("content")).contains(q)
+      val matches = corpus.filter(titleHit || bodyHit)
+      val total = matches.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), ceil(col("n") / lit(20.0)).cast("long"))
+          .as("total_pages"))
+      val joomlaSumUdf =
+        udf((c: String) => graft.extract.AdapterChunker.summariseJoomla(c))
+      matches
+        .select(col("doc_id"), col("title"),
+          (when(titleHit, lit(1.0)).otherwise(lit(0.0)) +
+           when(bodyHit, lit(0.5)).otherwise(lit(0.0))).as("relevance"),
+          joomlaSumUdf(col("content")).as("summary"))
+        .orderBy(col("relevance").desc, col("doc_id").desc)
+        .offset(20).limit(20) // page=2; the $limit arg is DEAD in :242-265
+        .crossJoin(broadcast(total))
+        .orderBy(col("relevance").desc, col("doc_id").desc)
+    },
+    Some(s"""WITH $searchCorpusSql,
+      m AS (
+        SELECT doc_id, title, content,
+          (CASE WHEN contains(lower(title), 'merge') THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN contains(lower(content), 'merge') THEN 0.5 ELSE 0.0 END)
+            AS relevance
+        FROM corpus
+        WHERE contains(lower(title), 'merge') OR contains(lower(content), 'merge')
+      ),
+      tot AS (
+        SELECT greatest(1, CAST(ceil(count(*) / 20.0) AS BIGINT)) AS total_pages
+        FROM m
+      ),
+      pg AS (
+        SELECT doc_id, title, relevance, content FROM m
+        ORDER BY relevance DESC, doc_id DESC LIMIT 20 OFFSET 20
+      ),
+      ws3 AS (
+        SELECT doc_id, title, relevance,
+          trim(regexp_replace(content, '\\s+', ' ', 'g')) AS cleaned
+        FROM pg
+      )
+      SELECT doc_id, title, relevance,
+        CASE WHEN len(string_split(cleaned, ' ')) > 40
+             THEN array_to_string(string_split(cleaned, ' ')[1:40], ' ') || '...'
+             ELSE cleaned END AS summary,
+        (SELECT total_pages FROM tot) AS total_pages
+      FROM ws3 ORDER BY relevance DESC, doc_id DESC"""))
+
+  /** Behavior 4 — the WP content API's native search
+    * (class-content-api.php:455-520): `s` feeds WP_Query, which for a
+    * SINGLE term builds exactly `(title LIKE %q% OR excerpt LIKE %q% OR
+    * content LIKE %q%)` (wp-includes/class-wp-query.php parse_search —
+    * the one-term case is modeled exactly; multi-term AND-composition
+    * is a documented delta), ordered date DESC (doc_id proxy), 20 per
+    * page (POSTS_PER_PAGE). The excluded-path skip runs INSIDE the
+    * result loop (:501-503), so exclusions DEFLATE the returned page
+    * while `max_num_pages` stays pre-exclusion — the same
+    * narrow-the-page quirk as the express family, from a different
+    * mechanism. Summary = the post excerpt unless empty, else
+    * `wp_trim_words(wp_strip_all_tags(content), 30, '...')`
+    * ([[AdapterChunker.wpTrimWords]]). */
+  private val xSearchWpNative = Q(
+    (s, dir) => {
+      val q = "merge"
+      val corpus = searchCorpus(s, dir)
+      val hit = lower(col("title")).contains(q) ||
+        lower(col("excerpt")).contains(q) || lower(col("content")).contains(q)
+      val matches = corpus.filter(hit)
+      val total = matches.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), ceil(col("n") / lit(20.0)).cast("long"))
+          .as("total_pages"))
+      val wpTrimUdf = udf((c: String) =>
+        graft.extract.AdapterChunker.wpTrimWords(c, 30, "..."))
+      matches
+        .orderBy(col("doc_id").desc).limit(20) // paged=1, POSTS_PER_PAGE=20
+        .filter(!col("source").startsWith("src1")) // in-loop exclusion deflates
+        .select(col("doc_id"), col("title"),
+          when(col("excerpt") =!= "", col("excerpt"))
+            .otherwise(wpTrimUdf(col("content"))).as("summary"))
+        .crossJoin(broadcast(total))
+        .orderBy(col("doc_id").desc)
+    },
+    Some(s"""WITH $searchCorpusSql,
+      m AS (
+        SELECT * FROM corpus
+        WHERE contains(lower(title), 'merge')
+           OR contains(lower(excerpt), 'merge')
+           OR contains(lower(content), 'merge')
+      ),
+      tot AS (
+        SELECT greatest(1, CAST(ceil(count(*) / 20.0) AS BIGINT)) AS total_pages
+        FROM m
+      ),
+      pg AS (SELECT * FROM m ORDER BY doc_id DESC LIMIT 20),
+      kept AS (SELECT * FROM pg WHERE source NOT LIKE 'src1%'),
+      ws4 AS (
+        SELECT doc_id, title, excerpt,
+          regexp_split_to_array(trim(content), '[\\n\\r\\t ]+') AS ws
+        FROM kept
+      )
+      SELECT doc_id, title,
+        CASE WHEN excerpt <> '' THEN excerpt
+             WHEN len(ws) > 30 THEN array_to_string(ws[1:30], ' ') || '...'
+             ELSE array_to_string(ws, ' ') END AS summary,
+        (SELECT total_pages FROM tot) AS total_pages
+      FROM ws4 ORDER BY doc_id DESC"""))
+
   /** Deterministic synthetic gateway request log derived from documents
     * (no external data): cycles methods, paths, UAs, and intent presence
     * so every routing branch is exercised. */
@@ -3025,6 +3330,10 @@ object Queries {
     "e_adapter_chunks" -> eAdapterChunks,
     "e_adapter_docs_oracle" -> eAdapterDocsOracle,
     "x_adapter_drupal" -> xAdapterDrupal,
+    "x_search_express_family" -> xSearchExpressFamily,
+    "x_search_drupal_scored" -> xSearchDrupalScored,
+    "x_search_joomla_sql" -> xSearchJoomlaSql,
+    "x_search_wp_native" -> xSearchWpNative,
     "v_validate" -> vValidate,
   )
 

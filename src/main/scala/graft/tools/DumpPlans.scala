@@ -63,6 +63,12 @@ object DumpPlans {
         fmt(SparkEntry.queries("a8_analytics_rollup")(spark, sf)),
       "a6_rate_window (streamed limiter walk: bucket hash exchange → partition-local spillable sort → mapPartitions; no per-bucket heap materialization)" ->
         fmt(SparkEntry.queries("a6_rate_window")(spark, sf)),
+      "x_adapter_drupal (ONE hash exchange on node_id → typed flatMapGroups; groups are O(paras-per-node))" ->
+        fmt(SparkEntry.queries("x_adapter_drupal")(spark, sf)),
+      "x_search_joomla_sql (filter → TakeOrderedAndProject page + 1-row broadcast total; no window)" ->
+        fmt(SparkEntry.queries("x_search_joomla_sql")(spark, sf)),
+      "x_search_drupal_scored (two TopK branches → ≤20-row union; windows only on post-limit micro-sets)" ->
+        fmt(SparkEntry.queries("x_search_drupal_scored")(spark, sf)),
       "crawl BFS — ONE level's expansion (the checkpointed full query hides this shape)" -> {
         // the per-level plan: links ⋈ frontier on src, anti-join visited —
         // dumping the full s1 query would execute the whole BFS and show

@@ -366,9 +366,14 @@ object Bench {
          |JSON line — BENCH_r{N}.json may hold only a truncated stdout
          |tail).
          |
-         |Cost-basis note r5 → r6: `x_adapter_drupal` is NEW in the query
-         |surface (adds to queries_total_sec); no other measured code path
-         |changed, so runs.jsonl carries over.
+         |Cost-basis note r5 → r6: NEW queries in the surface (each adds
+         |to queries_total_sec): `x_adapter_drupal`, the four
+         |`x_search_*` variants, `x_sync_express_static`,
+         |`x_sync_wp_diff`, `x_page_chunk_clamp`, `x_static_build`. No
+         |other measured code path changed, so runs.jsonl carries over.
+         |Host note: a leftover round-5 sbt JVM (~115% CPU for ~19 h)
+         |was killed mid-round-6 — runs recorded before that carry it as
+         |baseline load (see NOTES.md).
          |""".stripMargin)
   }
 }

@@ -2705,6 +2705,222 @@ object Queries {
         (SELECT total_pages FROM tot) AS total_pages
       FROM ws4 ORDER BY doc_id DESC"""))
 
+  /** Express differential sync (content.js:148-239) — the same port
+    * sweep finds THREE sync behaviors (sidecar = x_sync_envelope; WP
+    * below): the express one puts EVERY in-window item in `updated` —
+    * "can't distinguish added vs updated for static files" — with
+    * `added: []`, `counts.added: 0` and `deleted_tracking: false`
+    * constants, over a BOTH-INCLUSIVE [since, until] window on
+    * `published` (`t < sinceMs` / `t > untilMs` exclusions,
+    * :189-196), after the excluded-path filter. Synthesis mirrors the
+    * x_sync_envelope events-as-pages idiom; the '/error' prefix stands
+    * in for config.excludePaths. */
+  private val xSyncExpressStatic = Q(
+    (s, dir) => {
+      val sinceTs = lit("2024-01-10 00:00:00").cast("timestamp")
+      val untilTs = lit("2024-01-20 00:00:00").cast("timestamp")
+      val pages = rd(s, dir, "events").select(
+        concat(lit("/"), col("event_type"), lit("/"), col("event_id")).as("url"),
+        col("ts").as("published"))
+      val updatedRows = pages
+        .filter(!col("url").startsWith("/error")) // isExcludedPath
+        .filter(col("published") >= sinceTs && col("published") <= untilTs)
+      val counts = updatedRows.agg(count(lit(1)).as("n"))
+        .select(lit(0L).as("n_added"), col("n").as("n_updated"),
+          lit(0L).as("n_deleted"), lit(false).as("deleted_tracking"))
+      updatedRows
+        .select(col("url"),
+          date_format(col("published"), "yyyy-MM-dd'T'HH:mm:ss").as("published"),
+          lit("updated").as("bucket")) // NEVER "added": the static-file quirk
+        .crossJoin(broadcast(counts))
+        .orderBy("url")
+    },
+    Some("""WITH pages AS (
+        SELECT '/' || event_type || '/' || event_id AS url, ts AS published
+        FROM events
+      ), w AS (
+        SELECT url, published FROM pages
+        WHERE url NOT LIKE '/error%'
+          AND published >= TIMESTAMP '2024-01-10 00:00:00'
+          AND published <= TIMESTAMP '2024-01-20 00:00:00'
+      ), c AS (SELECT count(*) AS n FROM w)
+      SELECT url, strftime(published, '%Y-%m-%dT%H:%M:%S') AS published,
+        'updated' AS bucket,
+        CAST(0 AS BIGINT) AS n_added, (SELECT n FROM c) AS n_updated,
+        CAST(0 AS BIGINT) AS n_deleted, false AS deleted_tracking
+      FROM w ORDER BY url"""))
+
+  /** WordPress differential sync (class-content-api.php:152-240) — the
+    * third sync behavior: the date_query window is AFTER-EXCLUSIVE /
+    * BEFORE-INCLUSIVE — `(since, until]` on post_modified_gmt ('after'
+    * defaults to exclusive, 'before' passes inclusive=true, :179-190)
+    * — unlike the express/sidecar `>= since`; the added/updated split
+    * compares post_date (creation) to since with `>=` (:231-236, all
+    * added when no since); the excluded-path skip runs INSIDE the
+    * result loop; posts_per_page is -1 (no pagination — the whole
+    * window in one body). ?q= takes priority over since/until at
+    * dispatch (:91-93), the same quirk x_sync_validation pins for the
+    * sidecar; `?until= == ?since=` is ALLOWED (the guard is strictly
+    * `until < since`, :170) and yields the empty `(s, s]` window. */
+  private val xSyncWpDiff = Q(
+    (s, dir) => {
+      val sinceTs = lit("2024-01-10 00:00:00").cast("timestamp")
+      val untilTs = lit("2024-01-20 00:00:00").cast("timestamp")
+      val pages = rd(s, dir, "events").select(
+        concat(lit("/"), col("event_type"), lit("/"), col("event_id")).as("url"),
+        col("ts").as("modified"),
+        expr("timestampadd(DAY, -CAST(event_id % 20 AS INT), ts)").as("post_date"))
+      pages
+        .filter(col("modified") > sinceTs && col("modified") <= untilTs) // (s, u]
+        .filter(!col("url").startsWith("/error")) // in-loop exclusion
+        .select(col("url"),
+          date_format(col("modified"), "yyyy-MM-dd'T'HH:mm:ss").as("updated"),
+          date_format(col("post_date"), "yyyy-MM-dd'T'HH:mm:ss").as("published"),
+          when(col("post_date") >= sinceTs, "added").otherwise("updated")
+            .as("bucket"))
+        .orderBy("url")
+    },
+    Some("""WITH pages AS (
+        SELECT '/' || event_type || '/' || event_id AS url, ts AS modified,
+               ts - (event_id % 20) * INTERVAL 1 DAY AS post_date
+        FROM events
+      )
+      SELECT url, strftime(modified, '%Y-%m-%dT%H:%M:%S') AS updated,
+        strftime(post_date, '%Y-%m-%dT%H:%M:%S') AS published,
+        CASE WHEN post_date >= TIMESTAMP '2024-01-10 00:00:00'
+             THEN 'added' ELSE 'updated' END AS bucket
+      FROM pages
+      WHERE modified > TIMESTAMP '2024-01-10 00:00:00'
+        AND modified <= TIMESTAMP '2024-01-20 00:00:00'
+        AND url NOT LIKE '/error%'
+      ORDER BY url"""))
+
+  /** Single-page (?url=) chunk-limit matrix — THREE behaviors: the
+    * express family (content.js:236-276, astro content.ts:92-117,
+    * router.py:198-236) IGNORES ?limit= in page mode and returns every
+    * chunk; WP (class-content-api.php:368-434) parses it with
+    * `absint` and NO lower bound — `?limit=0` returns an EMPTY chunk
+    * list and negatives are absolute-valued — capped at
+    * openfeeder_max_chunks (50); Drupal (ContentController.php:147-213)
+    * clamps `min(max(limit, 1), max_chunks)` so at least one chunk
+    * always returns. Both CMS ports slice per-request AFTER caching the
+    * full list. Chunk counts ride the a4 proxy (lineitem per order);
+    * the raw limit cycles −2..6 so the 0/negative branches are
+    * exercised. */
+  private val xPageChunkClamp = Q(
+    (s, dir) => rd(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("total_chunks"))
+      .withColumn("raw_limit", (pmod(col("l_orderkey"), lit(9)) - 2).cast("long"))
+      .select(col("l_orderkey"), col("total_chunks"), col("raw_limit"),
+        col("total_chunks").as("express_returned"),
+        least(col("total_chunks"),
+          least(abs(col("raw_limit")), lit(50L))).as("wp_returned"),
+        least(col("total_chunks"),
+          least(greatest(col("raw_limit"), lit(1L)), lit(50L)))
+          .as("drupal_returned"))
+      .orderBy("l_orderkey").limit(1000),
+    Some("""SELECT l_orderkey, total_chunks, raw_limit,
+        total_chunks AS express_returned,
+        least(total_chunks, least(abs(raw_limit), 50)) AS wp_returned,
+        least(total_chunks, least(greatest(raw_limit, 1), 50)) AS drupal_returned
+      FROM (SELECT l_orderkey, count(*) AS total_chunks,
+              l_orderkey % 9 - 2 AS raw_limit
+            FROM lineitem GROUP BY l_orderkey)
+      ORDER BY l_orderkey LIMIT 1000"""))
+
+  /** The vite port's BUILD-TIME static generation (build.ts:22-113) —
+    * the one surface in the nine ports that is itself a batch job, so
+    * its Spark re-expression is the natural one: one row per generated
+    * artifact. Three artifact kinds: the discovery doc; the index
+    * snapshot — PAGE 1 ONLY ("a real static deployment would need a
+    * server … for arbitrary ?page=", :54-57), ITEMS_PER_PAGE = 10,
+    * total_pages still computed over everything; and one per-item page
+    * response at `openfeeder-items/<slug>.json` where slug strips the
+    * leading '/' and maps '/'→'-' with an `|| "index"` fallback for the
+    * root url (:103). Chunk counts/summaries are the express chunker's
+    * (vite shares it). doc 0 is planted at the root url so the 'index'
+    * slug fallback is exercised. */
+  private val xStaticBuild = Q(
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val summariseUdf = udf((c: String) => graft.extract.AdapterChunker.summarise(c))
+      val nChunksUdf = udf((c: String, u: String) =>
+        graft.extract.AdapterChunker.chunkContent(c, u).length.toLong)
+      val pages = rd(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") === 0, lit("/"))
+          .otherwise(concat(lit("/"), col("source"), lit("/"), col("doc_id")))
+          .as("url"),
+        col("text"))
+      val totalPages = pages.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(1L), ceil(col("n") / lit(10.0)).cast("long"))
+          .as("total_pages"))
+      val discovery = Seq(("discovery", ".well-known/openfeeder.json"))
+        .toDF("kind", "path")
+        .withColumn("seq", lit(-1L)).withColumn("url", lit("search")) // capabilities
+        .withColumn("summary", lit(null).cast("string"))
+        .withColumn("total_chunks", lit(null).cast("long"))
+      val indexItems = pages.orderBy("doc_id").limit(10)
+        .select(lit("index_item").as("kind"), lit("openfeeder").as("path"),
+          col("doc_id").as("seq"), col("url"),
+          summariseUdf(col("text")).as("summary"),
+          lit(null).cast("long").as("total_chunks"))
+      val items = pages.select(lit("item").as("kind"),
+        concat(lit("openfeeder-items/"),
+          regexp_replace(regexp_replace(col("url"), "^/", ""), "/", "-"),
+          lit(".json")).as("path_raw"),
+        col("doc_id").as("seq"), col("url"),
+        summariseUdf(col("text")).as("summary"),
+        nChunksUdf(col("text"), col("url")).as("total_chunks"))
+        .select(col("kind"),
+          when(col("path_raw") === "openfeeder-items/.json",
+            lit("openfeeder-items/index.json")).otherwise(col("path_raw"))
+            .as("path"),
+          col("seq"), col("url"), col("summary"), col("total_chunks"))
+      discovery.unionByName(indexItems).unionByName(items)
+        .crossJoin(broadcast(totalPages))
+        .orderBy("kind", "seq", "path")
+    },
+    Some("""WITH pages AS (
+        SELECT doc_id,
+          CASE WHEN doc_id = 0 THEN '/' ELSE '/' || source || '/' || doc_id END AS url,
+          text,
+          trim(regexp_replace(text, '[ \t]+', ' ', 'g')) AS cleaned
+        FROM documents
+      ),
+      tot AS (
+        SELECT greatest(1, CAST(ceil(count(*) / 10.0) AS BIGINT)) AS total_pages
+        FROM pages
+      ),
+      summ AS (
+        SELECT doc_id, url, cleaned,
+          CASE WHEN len(regexp_split_to_array(cleaned, '\s+')) <= 40 THEN cleaned
+               ELSE array_to_string(regexp_split_to_array(cleaned, '\s+')[1:40], ' ')
+                 || '...' END AS summary,
+          CASE WHEN cleaned = '' THEN 0 ELSE 1 END AS total_chunks
+        FROM pages
+      ),
+      rows_ AS (
+        SELECT 'discovery' AS kind, '.well-known/openfeeder.json' AS path,
+          CAST(-1 AS BIGINT) AS seq, 'search' AS url,
+          CAST(NULL AS VARCHAR) AS summary, CAST(NULL AS BIGINT) AS total_chunks
+        UNION ALL
+        SELECT 'index_item', 'openfeeder', doc_id, url, summary,
+          CAST(NULL AS BIGINT)
+        FROM (SELECT * FROM summ ORDER BY doc_id LIMIT 10)
+        UNION ALL
+        SELECT 'item',
+          CASE WHEN url = '/' THEN 'openfeeder-items/index.json'
+               ELSE 'openfeeder-items/'
+                 || replace(regexp_replace(url, '^/', ''), '/', '-') || '.json' END,
+          doc_id, url, summary, CAST(total_chunks AS BIGINT)
+        FROM summ
+      )
+      SELECT kind, path, seq, url, summary, total_chunks,
+        (SELECT total_pages FROM tot) AS total_pages
+      FROM rows_ ORDER BY kind, seq, path"""))
+
   /** Deterministic synthetic gateway request log derived from documents
     * (no external data): cycles methods, paths, UAs, and intent presence
     * so every routing branch is exercised. */
@@ -3334,6 +3550,10 @@ object Queries {
     "x_search_drupal_scored" -> xSearchDrupalScored,
     "x_search_joomla_sql" -> xSearchJoomlaSql,
     "x_search_wp_native" -> xSearchWpNative,
+    "x_sync_express_static" -> xSyncExpressStatic,
+    "x_sync_wp_diff" -> xSyncWpDiff,
+    "x_page_chunk_clamp" -> xPageChunkClamp,
+    "x_static_build" -> xStaticBuild,
     "v_validate" -> vValidate,
   )
 

@@ -2457,8 +2457,13 @@ object Queries {
     * filter), so a search can return fewer than `limit` items while
     * `total_pages` still reflects the unfiltered corpus. Page order is
     * the host index's newest-first (doc_id DESC recency proxy); summary
-    * is the express 40-word `summarise`. Plan: TakeOrderedAndProject for
-    * the page slice + a broadcast 1-row total — no global window. */
+    * is the express 40-word `summarise`. Sub-delta inside the family:
+    * express/TS sanitize ?q= as slice(200) + tag strip + trim
+    * (content.js:144, content.ts:80) while FastAPI caps at 200 ONLY
+    * (router.py:197 — `<b>x` searches literally there); the modeled q
+    * is sanitize-neutral, so the filter semantics here hold for all
+    * five ports. Plan: TakeOrderedAndProject for the page slice + a
+    * broadcast 1-row total — no global window. */
   private val xSearchExpressFamily = Q(
     (s, dir) => {
       val q = ("<b>MERGE</b>" + " pad" * 100) // sanitize: strip tags, 200 cap,

@@ -115,4 +115,22 @@ object Sinks {
     val asOfIso = graft.extract.SyncCodec.toIsoUtc(until.getTime / 1000.0)
     (added, updated, deleted, counts, graft.extract.SyncCodec.encodeSyncToken(asOfIso))
   }
+
+  /** The vite port's build-time static feed
+    * (`/root/reference/adapters/vite/src/build.ts:22-113`) as a Spark
+    * WRITE: one JSON-lines dataset per artifact kind
+    * (discovery / index_item / item), partitioned by `kind`. The
+    * reference writes one pretty-printed FILE per item with
+    * `writeFileSync` — at 10⁸ pages that is the classic small-files
+    * anti-pattern, so the Spark-native shape is partitioned JSON-lines
+    * keyed by the same `path` values (a CDN/edge materializer fans rows
+    * out to files; `path` is the file each row would become). Input is
+    * any DataFrame shaped like the `x_static_build` query's output. */
+  def writeStaticFeed(artifacts: DataFrame, outDir: String): Unit =
+    artifacts
+      .repartition(col("kind")) // one writer wave per artifact kind
+      .sortWithinPartitions("seq", "path")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("kind")
+      .json(outDir)
 }

@@ -106,4 +106,24 @@ class SinksSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
     assert(capped.count() == 10)
   }
+
+  test("static feed write: kind-partitioned JSON-lines round-trips (build.ts analog)") {
+    val artifacts = graft.query.Queries.registry
+      .collectFirst { case ("x_static_build", q) => q }.get
+      .fn(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("static_feed").toString
+    Sinks.writeStaticFeed(artifacts, out)
+    // partition layout: one directory per artifact kind
+    val kinds = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(kinds == Set("kind=discovery", "kind=index_item", "kind=item"))
+    // round-trip: partition column restored, counts match the query
+    val back = spark.read.json(out)
+    assert(back.count() == artifacts.count())
+    import org.apache.spark.sql.functions.col
+    assert(back.filter(col("kind") === "discovery").count() == 1)
+    assert(back.filter(col("kind") === "index_item").count() == 10)
+    // the root url landed on the slug-fallback path
+    assert(back.filter(col("path") === "openfeeder-items/index.json").count() == 1)
+  }
 }

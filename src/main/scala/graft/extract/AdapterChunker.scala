@@ -455,10 +455,29 @@ object AdapterChunker {
     // do_shortcodes_in_html_tags(ignore_html = true): pre-escape literal
     // escaped brackets, then escape brackets INSIDE html tokens so the
     // shortcode regex below (which runs on the whole string) cannot see
-    // them; unescape_invalid_shortcodes restores at the end.
+    // them; unescape_invalid_shortcodes restores at the end. Core only
+    // escapes a token containing BOTH '[' and ']' (`$noopen || $noclose
+    // → continue`, wp-includes/shortcodes.php) — a half-bracket token
+    // like `<img alt="[gallery">` stays unescaped, so the regex can
+    // match from inside it across the token boundary, exactly like
+    // core.
     var c = content.replace("&#91;", "&#091;").replace("&#93;", "&#093;")
-    c = Wpautop.replaceInHtmlTokens(
-      Wpautop.replaceInHtmlTokens(c, "[", "&#91;"), "]", "&#93;")
+    c = {
+      val m = Wpautop.htmlTokenRe.matcher(c)
+      val sb = new java.lang.StringBuilder(c.length)
+      var last = 0
+      while (m.find()) {
+        sb.append(c, last, m.start())
+        val tok = m.group()
+        sb.append(
+          if (tok.indexOf('[') >= 0 && tok.indexOf(']') >= 0)
+            tok.replace("[", "&#91;").replace("]", "&#93;")
+          else tok)
+        last = m.end()
+      }
+      sb.append(c, last, c.length)
+      sb.toString
+    }
     val m = coreShortcodeRe.matcher(c)
     val sb = new java.lang.StringBuilder
     while (m.find()) {

@@ -49,11 +49,12 @@ object Wpautop {
   }
 
   // wpautop's block-element alternation, verbatim from formatting.php
+  // (current-era core: includes `math`, and `search` since WP 6.4)
   private val allBlocks =
     "(?:table|thead|tfoot|caption|col|colgroup|tbody|tr|td|th|div|dl|dd|" +
-    "dt|ul|ol|li|pre|form|map|area|blockquote|address|style|p|h[1-6]|hr|" +
-    "fieldset|legend|section|article|aside|hgroup|header|footer|nav|" +
-    "figure|figcaption|details|menu|summary)"
+    "dt|ul|ol|li|pre|form|map|area|blockquote|address|math|style|p|" +
+    "h[1-6]|hr|fieldset|legend|section|search|article|aside|hgroup|" +
+    "header|footer|nav|figure|figcaption|details|menu|summary)"
 
   private val brBrRe = Pattern.compile("<br\\s*/?>\\s*<br\\s*/?>")
   private val openBlockRe = Pattern.compile("(<" + allBlocks + "[\\s/>])")

@@ -2766,7 +2766,12 @@ object Queries {
     * window in one body). ?q= takes priority over since/until at
     * dispatch (:91-93), the same quirk x_sync_validation pins for the
     * sidecar; `?until= == ?since=` is ALLOWED (the guard is strictly
-    * `until < since`, :170) and yields the empty `(s, s]` window. */
+    * `until < since`, :170) and yields the empty `(s, s]` window.
+    * Param-parsing delta (documented, not modeled): WP's parse_since
+    * runs `strtotime` — far looser than the sidecar's RFC-3339 parse
+    * ("next tuesday" parses there) — before the base64 sync_token
+    * fallback (:111-131); the modeled bounds are RFC-3339 strings,
+    * where every parser agrees. */
   private val xSyncWpDiff = Q(
     (s, dir) => {
       val sinceTs = lit("2024-01-10 00:00:00").cast("timestamp")

@@ -125,6 +125,41 @@ object ScaleSmoke {
     require(hotDecisions <= expectedAllowed,
       s"hot bucket admitted $hotDecisions > window bound $expectedAllowed")
 
+    // ---- adapter chunker variants: row-local throughput ----------------
+    // All seven variants are pure per-row functions (no shuffle, no
+    // state), so 100 TB readiness is purely a per-core-throughput
+    // question. Synthesize ~200k multi-paragraph posts (~1.4 kB each,
+    // <pre>-wrapped for the WP path so its packer actually packs) and
+    // measure each variant's chunking rate.
+    val postN = sys.env.getOrElse("SPARK_GRAFT_SMOKE_POSTS", "200000").toLong
+    val posts = spark.range(postN).select(col("id"),
+      concat_ws("\n\n",
+        concat(lit("Paragraph one about topic "), col("id"),
+          lit(" with some repeated filler words to reach realistic size. "
+            + ("lorem ipsum dolor sit amet " * 8))),
+        concat(lit("Second paragraph for post "), col("id"), lit(". "
+          + ("content body text goes here " * 8))),
+        concat(lit("- bullet a\n- bullet b\n- bullet "), col("id")),
+        lit("Closing words. " * 20)).as("body"))
+      .select(col("id"), col("body"),
+        concat(lit("<pre>"), col("body"), lit("</pre>")).as("preBody"))
+      .cache()
+    posts.count()
+    import graft.extract.AdapterChunker
+    import graft.extract.AdapterChunker.Variant
+    for ((name, v) <- Seq("express" -> Variant.Express, "wp" -> Variant.Wp,
+        "fastapi" -> Variant.FastApi, "joomla" -> Variant.Joomla,
+        "woo" -> Variant.Woo, "drupal" -> Variant.Drupal)) {
+      val colIn = if (v == Variant.Wp) col("preBody") else col("body")
+      val n = timed(s"chunker variant $name ($postN posts)")(
+        posts.select(col("id"), colIn.as("c")).as[(Long, String)]
+          .flatMap { case (id, c) =>
+            AdapterChunker.chunkContent(c, s"/post/$id", v).map(_.chunkType) }
+          .count())
+      println(s"SMOKE chunker $name: $n chunks")
+    }
+    posts.unpersist()
+
     println("SMOKE done; cacheManager empty = " +
       spark.sharedState.cacheManager.isEmpty)
     spark.stop()

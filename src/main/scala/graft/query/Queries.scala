@@ -2514,6 +2514,12 @@ object Queries {
     * DESC (PHP ≥ 8.0 usort is stable, and Drupal requires PHP 8.1, so
     * ties keep merge order). Body text and the 30-word summary go
     * through plain `strip_tags`, NOT the chunker clean (:357,361).
+    * One asymmetry in the reference (documented): the BRANCH filter is
+    * the entity query's CONTAINS over the RAW body.value (:338 — HTML
+    * included), while the SCORE re-checks str_contains on the STRIPPED
+    * body (:368-377) — a term appearing only inside markup selects a
+    * row that then scores body=0. This model applies the stripped text
+    * to both (identical on tag-free corpora like this one).
     * Plans as two TopK branches + a ≤20-row union — the windows below
     * run on post-limit micro-sets, never on the corpus. */
   private val xSearchDrupalScored = Q(
@@ -2717,9 +2723,12 @@ object Queries {
     * `added: []`, `counts.added: 0` and `deleted_tracking: false`
     * constants, over a BOTH-INCLUSIVE [since, until] window on
     * `published` (`t < sinceMs` / `t > untilMs` exclusions,
-    * :189-196), after the excluded-path filter. Synthesis mirrors the
-    * x_sync_envelope events-as-pages idiom; the '/error' prefix stands
-    * in for config.excludePaths. */
+    * :189-196), after the excluded-path filter. The reference fetches
+    * `getItems(1, 10000)` (:177) — sites beyond 10k items silently
+    * truncate their sync; this model reads everything (documented
+    * delta — the cap is the reference's scale ceiling, not a
+    * semantic). Synthesis mirrors the x_sync_envelope events-as-pages
+    * idiom; the '/error' prefix stands in for config.excludePaths. */
   private val xSyncExpressStatic = Q(
     (s, dir) => {
       val sinceTs = lit("2024-01-10 00:00:00").cast("timestamp")

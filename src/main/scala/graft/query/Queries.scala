@@ -2940,6 +2940,97 @@ object Queries {
         (SELECT total_pages FROM tot) AS total_pages
       FROM rows_ ORDER BY kind, seq, path"""))
 
+  /** The `?limit=` PARSE matrix — four host-language numeric semantics
+    * on the same raw strings, one clamp chain per port family:
+    *
+    *  - express/TS (content.js:297-301): `Math.min(100, Math.max(1,
+    *    parseInt(raw || '10', 10) || 10))` — parseInt takes the digit
+    *    PREFIX (`"15abc"` → 15, `"1e2"` → 1, `"0x12"` → 0) and the
+    *    `|| 10` swallows both NaN AND a parsed 0.
+    *  - FastAPI (router.py:260-263): `min(100, max(1, int(raw or "10")
+    *    or 10))` in try/except → 10 — Python int is all-or-nothing
+    *    (`"15abc"`, `"3.9"`, `"1e2"` all fall back to 10) but PEP 515
+    *    makes `"1_0"` parse as TEN where every other host sees 1.
+    *  - Drupal page-mode (ContentController.php:147-149):
+    *    `min(max((int) $raw, 1), 50)` — the PHP cast reads the longest
+    *    leading NUMERIC prefix incl. exponent forms, so `"1e2"` is 100
+    *    → clamped 50, and an empty/garbage string floors to 1.
+    *  - WP page-mode (class-content-api.php:368-372): `is_numeric`
+    *    gate (PHP 8: trailing whitespace numeric) else 10, then
+    *    `min(absint($raw), 50)` — absint turns `"-3"` into THREE where
+    *    every other port floors to 1, and `"0"` passes through as the
+    *    empty-chunk-list 0 (x_page_chunk_clamp's quirk).
+    *
+    * Spark computes through the [[graft.extract.HostNumbers]]
+    * transliterations; the DuckDB oracle pins independently-derived
+    * expected values per raw string. */
+  private val xLimitParseMatrix = Q(
+    (s, dir) => {
+      import graft.extract.HostNumbers._
+      val raws: Seq[String] = Seq(null, "", "0", "7", "15abc", "abc", "-3",
+        "200", "3.9", "1_0", "0x12", " 8 ", "1e2")
+      val expressUdf = udf((raw: String) => {
+        val eff = if (raw == null || raw.isEmpty) "10" else raw
+        val p = jsParseInt10(eff).filter(_ != 0L).getOrElse(10L)
+        math.min(100L, math.max(1L, p))
+      })
+      val fastapiUdf = udf((raw: String) => {
+        val eff = if (raw == null || raw.isEmpty) "10" else raw
+        pyIntParse(eff) match {
+          case Some(v) => math.min(100L, math.max(1L, if (v == 0L) 10L else v))
+          case None => 10L
+        }
+      })
+      val drupalUdf = udf((raw: String) => {
+        val v = if (raw == null) 10L else phpIntCast(raw)
+        math.min(math.max(v, 1L), 50L)
+      })
+      val wpUdf = udf((raw: String) => {
+        if (raw == null || !phpIsNumeric(raw)) 10L
+        else math.min(wpAbsInt(raw), 50L)
+      })
+      val rawCol = raws.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (v, i)) =>
+          when(pmod(col("doc_id"), lit(raws.size)) === i,
+            Option(v).map(lit).getOrElse(lit(null).cast("string"))).otherwise(acc)
+      }
+      rd(s, dir, "documents").select(col("doc_id"), rawCol.as("raw_limit"))
+        .select(col("doc_id"), col("raw_limit"),
+          expressUdf(col("raw_limit")).as("express_limit"),
+          fastapiUdf(col("raw_limit")).as("fastapi_limit"),
+          drupalUdf(col("raw_limit")).as("drupal_limit"),
+          wpUdf(col("raw_limit")).as("wp_limit"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH params AS (
+        SELECT doc_id, doc_id % 13 AS idx,
+          CASE doc_id % 13
+            WHEN 1 THEN '' WHEN 2 THEN '0' WHEN 3 THEN '7'
+            WHEN 4 THEN '15abc' WHEN 5 THEN 'abc' WHEN 6 THEN '-3'
+            WHEN 7 THEN '200' WHEN 8 THEN '3.9' WHEN 9 THEN '1_0'
+            WHEN 10 THEN '0x12' WHEN 11 THEN ' 8 ' WHEN 12 THEN '1e2'
+            ELSE NULL END AS raw_limit
+        FROM documents
+      )
+      SELECT doc_id, raw_limit,
+        CAST(CASE idx WHEN 0 THEN 10 WHEN 1 THEN 10 WHEN 2 THEN 10 WHEN 3 THEN 7
+          WHEN 4 THEN 15 WHEN 5 THEN 10 WHEN 6 THEN 1 WHEN 7 THEN 100
+          WHEN 8 THEN 3 WHEN 9 THEN 1 WHEN 10 THEN 10 WHEN 11 THEN 8
+          WHEN 12 THEN 1 END AS BIGINT) AS express_limit,
+        CAST(CASE idx WHEN 0 THEN 10 WHEN 1 THEN 10 WHEN 2 THEN 10 WHEN 3 THEN 7
+          WHEN 4 THEN 10 WHEN 5 THEN 10 WHEN 6 THEN 1 WHEN 7 THEN 100
+          WHEN 8 THEN 10 WHEN 9 THEN 10 WHEN 10 THEN 10 WHEN 11 THEN 8
+          WHEN 12 THEN 10 END AS BIGINT) AS fastapi_limit,
+        CAST(CASE idx WHEN 0 THEN 10 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 7
+          WHEN 4 THEN 15 WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 50
+          WHEN 8 THEN 3 WHEN 9 THEN 1 WHEN 10 THEN 1 WHEN 11 THEN 8
+          WHEN 12 THEN 50 END AS BIGINT) AS drupal_limit,
+        CAST(CASE idx WHEN 0 THEN 10 WHEN 1 THEN 10 WHEN 2 THEN 0 WHEN 3 THEN 7
+          WHEN 4 THEN 10 WHEN 5 THEN 10 WHEN 6 THEN 3 WHEN 7 THEN 50
+          WHEN 8 THEN 3 WHEN 9 THEN 10 WHEN 10 THEN 10 WHEN 11 THEN 8
+          WHEN 12 THEN 50 END AS BIGINT) AS wp_limit
+      FROM params ORDER BY doc_id"""))
+
   /** Deterministic synthetic gateway request log derived from documents
     * (no external data): cycles methods, paths, UAs, and intent presence
     * so every routing branch is exercised. */
@@ -3573,6 +3664,7 @@ object Queries {
     "x_sync_wp_diff" -> xSyncWpDiff,
     "x_page_chunk_clamp" -> xPageChunkClamp,
     "x_static_build" -> xStaticBuild,
+    "x_limit_parse_matrix" -> xLimitParseMatrix,
     "v_validate" -> vValidate,
   )
 

@@ -299,13 +299,21 @@ object Dedup {
     * bucket join prunes candidates). */
   def embeddingNearDups(emb: DataFrame, dim: Int, thresholdX10000: Int = 9500,
       nPlanes: Int = 12): DataFrame = {
+    // ‖v‖ is computed once per VECTOR before the bucket self-join instead
+    // of twice per candidate PAIR (bucket collisions are quadratic in
+    // bucket size — the pair side is the expensive place to do per-vector
+    // work): one interpreted aggregate per pair instead of three.
+    // IEEE-identical to cosine(a.embedding, b.embedding): same fold
+    // order, ‖a‖·‖b‖ product order preserved.
     val sigd = VectorOps.lshSignature(emb, dim, nPlanes)
-      .select(col("vec_id"), col("embedding"), col("lsh_sig"))
+      .select(col("vec_id"), col("embedding"), col("lsh_sig"),
+        VectorOps.norm(col("embedding")).as("_n"))
+    val cos = VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a._n") * col("b._n"))
     sigd.as("a").join(sigd.as("b"),
         col("a.lsh_sig") === col("b.lsh_sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")) * 10000).cast("long")
-          .as("cos_x10000"))
+        round(cos * 10000).cast("long").as("cos_x10000"))
       .filter(col("cos_x10000") >= thresholdX10000)
   }
 }

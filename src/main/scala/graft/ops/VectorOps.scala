@@ -21,13 +21,43 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  // --------------------------------------------------------------------
+  // Redundancy-free cosine building blocks. Spark's higher-order array
+  // functions (`aggregate`, `zip_with`) are CodegenFallback — every call
+  // evaluates its lambda interpreted, per row — so the lever is not the
+  // per-call cost (an unrolled element-wise expression chain was tried
+  // and REGRESSED: 16 centroids × 64 unrolled terms made the expression
+  // tree ~400× bigger and optimizer+codegen time dwarfed the interpreted
+  // eval it saved) but the NUMBER of aggregate calls per row:
+  //  - ‖v‖ of a stored vector is scored-constant-independent → compute it
+  //    once per row/vector, not once per centroid or per candidate pair;
+  //  - ‖c‖ of a constant (query vector, centroid, LSH plane) is a
+  //    driver-side double, not a per-row aggregate.
+  // Both substitutions are IEEE-identical to cosine(a, c): same fold
+  // order from 0.0, same float→double widening, same ‖a‖·‖c‖ product
+  // order, correctly-rounded sqrt on both sides.
+  // --------------------------------------------------------------------
+
+  /** Driver-side ‖q‖ with the same IEEE sequence as [[norm]] over the
+    * equivalent literal array (float→double per element, sequential sum
+    * from 0.0, correctly-rounded sqrt). */
+  def normLocal(q: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { s += q(i) * q(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** cosine(a, c) for a constant vector c, with ‖a‖ supplied by the
+    * caller (compute it once per row) and ‖c‖ folded to a literal. */
+  private def cosineLit(a: Column, aNorm: Column, c: Array[Float]): Column =
+    dot(a, typedlit(c)) / (aNorm * lit(normLocal(c.map(_.toDouble))))
+
   /** Exact brute-force cosine top-k against one query vector (broadcast as
     * a literal array — no shuffle, one scan, TakeOrderedAndProject). */
   def cosineTopK(emb: DataFrame, query: Array[Float], k: Int,
       excludeId: Option[Long] = None): DataFrame = {
-    val q = typedlit(query)
     val scored = emb.select(col("vec_id"), col("label"),
-      round(cosine(col("embedding"), q), 4).as("cos"))
+      round(cosineLit(col("embedding"), norm(col("embedding")), query), 4).as("cos"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
@@ -162,10 +192,16 @@ object VectorOps {
     * cells. Centroids here are data-independent deterministic probes — a
     * k-means step can swap in without changing the plan shape. */
   def ivfAssign(emb: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    // ‖embedding‖ is centroid-independent: compute it once per row in a
+    // projection instead of once per centroid (k× fewer aggregate chains),
+    // and fold each constant ‖c‖ to a driver-computed literal — both
+    // IEEE-identical to the per-cell cosine(embedding, c) they replace.
     val scores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("embedding"), typedlit(c)).as("s"), lit(i).as("cell"))
+      struct(cosineLit(col("embedding"), col("_ne"), c).as("s"), lit(i).as("cell"))
     }
-    emb.withColumn("cell", greatest(scores: _*).getField("cell"))
+    emb.withColumn("_ne", norm(col("embedding")))
+      .withColumn("cell", greatest(scores: _*).getField("cell"))
+      .drop("_ne")
   }
 
   /** Deterministic unit-ish centroids from the hyperplane generator. */

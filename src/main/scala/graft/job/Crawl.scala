@@ -62,8 +62,14 @@ object Crawl {
   def bfsFrom(links: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     // materialize the edge table once: every level joins against it, and
     // without this an expensive upstream plan (scans, aggregates, unions)
-    // would re-execute per level
-    val edges = links.select(col("src"), col("dst")).localCheckpoint(true)
+    // would re-execute per level. Hash-partitioned by src BEFORE the
+    // checkpoint: localCheckpoint preserves the physical partitioning, so
+    // every level's `edges ⋈ frontier ON src` finds its clustered
+    // distribution already satisfied and only the (delta-sized) frontier
+    // side moves — without this the FULL edge table re-shuffles on every
+    // level, depth× over the whole walk.
+    val edges = links.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
     val level0 = seeds.select(col("url")).distinct()
       .select(col("url"), lit(0).as("depth"))
       .localCheckpoint(true)
@@ -116,6 +122,12 @@ object Crawl {
     val sm = sitemaps.select(col("url"), col("xml")).localCheckpoint(true)
     var frontier = Seq(rootSitemap).toDF("sm_url").localCheckpoint(true)
     val seenLevels = scala.collection.mutable.ArrayBuffer(frontier)
+    // per level, `entries` feeds BOTH the seed accumulator and the next
+    // frontier: persist (lazy) instead of localCheckpoint (eager) so the
+    // level costs ONE materializing job (the frontier checkpoint, which
+    // populates the cache on the way) instead of two; the cache entries
+    // are released after the seed set is materialized at exit.
+    val entryLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var seeds: Option[DataFrame] = None
     var d = 0
     while (d < maxIndexDepth && !frontier.isEmpty) {
@@ -123,7 +135,8 @@ object Crawl {
       val entries = sm.join(frontier, sm("url") === frontier("sm_url"))
         .select(explode(parseLocs(col("xml"))).as("e"))
         .select(col("e._1").as("kind"), col("e._2").as("loc"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      entryLevels += entries
       val pageUrls = entries.filter(col("kind") === "url")
         .select(col("loc").as("url"))
       seeds = Some(seeds.map(_.unionByName(pageUrls)).getOrElse(pageUrls))
@@ -135,6 +148,11 @@ object Crawl {
       seenLevels += next
       frontier = next
     }
-    seeds.map(_.distinct()).getOrElse(Seq.empty[String].toDF("url"))
+    // materialize the seed set before releasing the per-level caches —
+    // the caller must never depend on this operator's cache lifecycle
+    val out = seeds.map(_.distinct().localCheckpoint(true))
+      .getOrElse(Seq.empty[String].toDF("url"))
+    entryLevels.foreach(_.unpersist())
+    out
   }
 }

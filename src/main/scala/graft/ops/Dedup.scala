@@ -170,28 +170,43 @@ object Dedup {
 
   /** Large-star rewrite: for each node u (over symmetrized edges), emit
     * (v, min(Γ⁺(u))) for every neighbor v > u. Output stays canonical
-    * (big, small) since min ≤ u < v. */
+    * (big, small) since min ≤ u < v.
+    *
+    * Shape: the neighborhood min is a `min() OVER (PARTITION BY u)`
+    * window instead of the groupBy+self-join it replaces — ONE exchange
+    * of the symmetrized edges instead of two (the join's probe side
+    * re-shuffled sym a second time) and no join operator at all; a
+    * sort-merge join would have paid the same per-partition sort the
+    * window pays. Output is NOT deduplicated: duplicates cannot arise
+    * here (one output row per canonical input edge), and the downstream
+    * [[smallStar]] is duplicate-insensitive (its aggregate is a min; its
+    * own output dedups), so the standalone `.distinct()` exchange this
+    * stage used to pay was pure overhead. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("big").as("u"), col("small").as("v"))
       .unionByName(edges.select(col("small").as("u"), col("big").as("v")))
-    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    sym.join(mins, "u")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    sym.withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("big"), col("m").as("small"))
-      .distinct()
   }
 
   /** Small-star rewrite: for each node u over its smaller neighbors N
     * (edges arrive canonical big→small, so grouping by `big` IS the
     * smaller-neighborhood view), emit (v, min(N)) for v ∈ N ∪ {u},
-    * v ≠ min(N). min(N) < u and min(N) < v, so output stays canonical. */
+    * v ≠ min(N). min(N) < u and min(N) < v, so output stays canonical.
+    *
+    * Same window-instead-of-groupBy+join shape as [[largeStar]]; the
+    * center edge (u, min(N)) is emitted once per input row rather than
+    * once per group, which the closing `.distinct()` (needed anyway for
+    * the canonical edge-set semantics the fixpoint test relies on)
+    * already absorbs. */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy("big").agg(min(col("small")).as("m"))
-    val leaves = edges.join(mins, "big")
-      .filter(col("small") =!= col("m"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("big")
+    val withM = edges.withColumn("m", min(col("small")).over(w))
+    val leaves = withM.filter(col("small") =!= col("m"))
       .select(col("small").as("big"), col("m").as("small"))
-    val centers = mins.select(col("big"), col("m").as("small"))
+    val centers = withM.select(col("big"), col("m").as("small"))
     leaves.unionByName(centers).distinct()
   }
 

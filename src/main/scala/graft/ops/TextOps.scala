@@ -107,25 +107,31 @@ object TextOps {
     // pre-split through a projection boundary: without the alias, codegen
     // inlines `split(trim(lower(text)))` into every element_at inside the
     // transform lambda and re-splits the whole document O(words·n) times
-    val shingled = docs
+    val exploded = docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("_ws"))
       .select(col("doc_id"), explode(wordNgramsFromWords(col("_ws"), n)).as("shingle"))
       .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("sh"))
-      .distinct()
     val cap: Option[Column] = (maxDf, maxDfPct) match {
       case (Some(c), _) => Some(lit(c))
       case (None, Some(pct)) => Some(col("_dfcap"))
       case _ => None
     }
     cap match {
-      case None => shingled
+      case None => exploded.distinct()
       case Some(capCol) =>
-        // document frequency via a window partitioned by shingle hash: one
-        // pass over the shingle set (the groupBy+anti-join alternative
-        // recomputes the whole explode pipeline a second time), hash-
-        // partitioned so it scales — never a global window
+        // ONE exchange for dedup + document frequency: hash-partition by
+        // shingle hash first, then both the (doc_id, sh) dedup (a hash
+        // aggregate whose clustered-distribution requirement a subset
+        // partitioning satisfies) and the df window run partition-local —
+        // a bare `.distinct()` would shuffle by (doc_id, sh) and the
+        // window would shuffle AGAIN by sh. The df pass itself stays a
+        // hash-partitioned window (the groupBy+anti-join alternative
+        // recomputes the whole explode pipeline a second time) — never a
+        // global window
         val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-        val withDf = shingled.withColumn("_df", count(lit(1)).over(w))
+        val withDf = exploded.repartition(col("sh"))
+          .dropDuplicates("doc_id", "sh")
+          .withColumn("_df", count(lit(1)).over(w))
         val capped = maxDfPct match {
           case Some(pct) if maxDf.isEmpty =>
             // (ndocs·pct)/100.0 is exact in double (ndocs·pct is an exact

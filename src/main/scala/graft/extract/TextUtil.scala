@@ -57,11 +57,38 @@ object TextUtil {
   }
 
   /** Sentence-boundary splitter of `_split_long_text`:
-    * `re.split(r"(?<=[.!?])\s+", text)` — `/root/reference/sidecar/chunker.py:92`. */
-  private val sentenceSplit: Pattern =
-    Pattern.compile("(?<=[.!?])[\\s\\x1c-\\x1f\\x85]+", Pattern.UNICODE_CHARACTER_CLASS)
-
-  def splitSentences(text: String): Array[String] = sentenceSplit.split(text, -1)
+    * `re.split(r"(?<=[.!?])\s+", text)` — `/root/reference/sidecar/chunker.py:92`.
+    *
+    * Hand-rolled single pass instead of `Pattern.split` on
+    * `(?<=[.!?])[\s\x1c-\x1f\x85]+`: the lookbehind + Unicode-class regex
+    * measured ~5× slower and this is ~25% of the whole extraction hot
+    * loop on long-text payloads. Semantics are identical by construction:
+    * split at every maximal run of Python-`\s` whitespace whose
+    * immediately preceding character is `.`, `!` or `?` (greedy run =
+    * maximal run here, since the lookbehind constrains only the run's
+    * first character), `limit = -1` trailing-empty behavior preserved
+    * (a terminal match yields a trailing "" token). Pinned against the
+    * regex by the PropertySpec fuzz. */
+  def splitSentences(text: String): Array[String] = {
+    val n = text.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 1 // a match needs a preceding char
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isPyWs(c) && {
+            val p = text.charAt(i - 1); p == '.' || p == '!' || p == '?'
+          }) {
+        var j = i + 1
+        while (j < n && isPyWs(text.charAt(j))) j += 1
+        out += text.substring(start, i)
+        start = j
+        i = j + 1
+      } else i += 1
+    }
+    out += text.substring(start, n)
+    out.toArray
+  }
 
   /** Max chunk chars before sentence-split — `_MAX_CHUNK_LEN`,
     * `/root/reference/sidecar/chunker.py:54`.

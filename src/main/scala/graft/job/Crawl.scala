@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * frontier) + one anti-join against visited, both on url; each level's
   * result is localCheckpoint'ed so the iterative plan/lineage stays flat
   * (the classic iterative-Spark failure mode is a plan that doubles per
-  * iteration). The per-level driver `isEmpty` is a control-flow check on
-  * an already-materialized (checkpointed) frame, not a data collect.
+  * iteration). The per-level driver count() both materializes the lazy
+  * checkpoint and drives the loop's emptiness check — one job per level,
+  * never a data collect.
   *
   * The reference's `max_pages` cap cuts in FIFO discovery order; a
   * distributed BFS has no global FIFO, so [[capPages]] cuts by
@@ -62,21 +63,25 @@ object Crawl {
   def bfsFrom(links: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     // materialize the edge table once: every level joins against it, and
     // without this an expensive upstream plan (scans, aggregates, unions)
-    // would re-execute per level. Hash-partitioned by src BEFORE the
-    // checkpoint: localCheckpoint preserves the physical partitioning, so
-    // every level's `edges ⋈ frontier ON src` finds its clustered
-    // distribution already satisfied and only the (delta-sized) frontier
-    // side moves — without this the FULL edge table re-shuffles on every
-    // level, depth× over the whole walk.
-    val edges = links.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(true)
+    // would re-execute per level. (A repartition-by-src before the
+    // checkpoint was tried in r07 and reverted: under AQE the
+    // checkpointed LogicalRDD reports UnknownPartitioning — see
+    // plans/r07/inner_bfs_level_inner.txt — so the extra shuffle bought
+    // nothing; the per-level join instead avoids re-shuffling the edge
+    // table because AQE broadcasts the delta-sized frontier side.)
+    // lazy: materializes inside the first level's counting job
+    val edges = links.select(col("src"), col("dst")).localCheckpoint(false)
+    // LAZY localCheckpoint + count() per level: the count materializes
+    // the checkpoint, so a level costs ONE job instead of an eager
+    // checkpoint job plus a separate isEmpty probe
     val level0 = seeds.select(col("url")).distinct()
       .select(col("url"), lit(0).as("depth"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val levels = scala.collection.mutable.ArrayBuffer(level0)
     var frontier = level0
+    var frontierCount = level0.count()
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierCount > 0) {
       depth += 1
       val visitedUrls = levels.map(_.select("url")).reduce(_ unionByName _)
       val next = edges.join(frontier.select(col("url").as("src")), "src")
@@ -84,7 +89,8 @@ object Crawl {
         .distinct()
         .join(visitedUrls, Seq("url"), "left_anti")
         .select(col("url"), lit(depth).as("depth"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      frontierCount = next.count()
       levels += next
       frontier = next
     }
@@ -119,8 +125,9 @@ object Crawl {
     val parseLocs = udf((xml: String) =>
       if (xml == null) Seq.empty[(String, String)]
       else graft.extract.Sitemap.parse(xml).map(e => (e.kind, e.loc)))
-    val sm = sitemaps.select(col("url"), col("xml")).localCheckpoint(true)
+    val sm = sitemaps.select(col("url"), col("xml")).localCheckpoint(false)
     var frontier = Seq(rootSitemap).toDF("sm_url").localCheckpoint(true)
+    var frontierCount = 1L
     val seenLevels = scala.collection.mutable.ArrayBuffer(frontier)
     // per level, `entries` feeds BOTH the seed accumulator and the next
     // frontier: persist (lazy) instead of localCheckpoint (eager) so the
@@ -130,7 +137,7 @@ object Crawl {
     val entryLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var seeds: Option[DataFrame] = None
     var d = 0
-    while (d < maxIndexDepth && !frontier.isEmpty) {
+    while (d < maxIndexDepth && frontierCount > 0) {
       d += 1
       val entries = sm.join(frontier, sm("url") === frontier("sm_url"))
         .select(explode(parseLocs(col("xml"))).as("e"))
@@ -140,11 +147,15 @@ object Crawl {
       val pageUrls = entries.filter(col("kind") === "url")
         .select(col("loc").as("url"))
       seeds = Some(seeds.map(_.unionByName(pageUrls)).getOrElse(pageUrls))
+      // lazy checkpoint + count: one materializing job per level (the
+      // count doubles as the loop's emptiness probe), populating the
+      // `entries` cache on the way
       val next = entries.filter(col("kind") === "sitemap")
         .select(col("loc").as("sm_url"))
         .distinct()
         .join(seenLevels.reduce(_ unionByName _), Seq("sm_url"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      frontierCount = next.count()
       seenLevels += next
       frontier = next
     }

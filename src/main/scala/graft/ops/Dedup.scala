@@ -44,7 +44,20 @@ object Dedup {
     * to the corpus) so shingling runs once, not three times. */
   def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       minEstJaccardX1000: Int = 500, maxDf: Option[Long] = None,
-      portable: Boolean = false, maxDfPct: Option[Int] = None): DataFrame = {
+      portable: Boolean = false, maxDfPct: Option[Int] = None): DataFrame =
+    minHashPairsPlanned(docs, n, k, bands, minEstJaccardX1000, maxDf,
+      portable, maxDfPct) match { case (frame, sigs) =>
+        try frame.localCheckpoint(true) finally sigs.unpersist()
+      }
+
+  /** [[minHashPairs]] WITHOUT the final eager checkpoint, plus the live
+    * signature cache handle — dev/plan-inspection seam (the checkpointed
+    * public result hides the interesting physical plan behind a Scan
+    * ExistingRDD). Caller owns the returned cache's lifecycle. */
+  private[graft] def minHashPairsPlanned(docs: DataFrame, n: Int = 3,
+      k: Int = 16, bands: Int = 4, minEstJaccardX1000: Int = 500,
+      maxDf: Option[Long] = None, portable: Boolean = false,
+      maxDfPct: Option[Int] = None): (DataFrame, DataFrame) = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // persisted, reused three times (band explode + both candidate joins);
@@ -54,7 +67,7 @@ object Dedup {
     val sigs = minHashSignatures(docs, n, k, maxDf, portable, maxDfPct)
       .select(col("doc_id"), array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    val frame = {
       def bandKey(b: Int): Column = {
         val parts = (b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1))
         if (portable) substring(md5(concat_ws(",", parts: _*)), 1, 16)
@@ -78,8 +91,8 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           (agree * 1000 / k).cast("long").as("est_jaccard_x1000"))
         .filter(col("est_jaccard_x1000") >= minEstJaccardX1000)
-        .localCheckpoint(true)
-    } finally sigs.unpersist()
+    }
+    (frame, sigs)
   }
 
   /** Connected components over a near-dup pair set — the step that turns
@@ -132,12 +145,15 @@ object Dedup {
       : (DataFrame, Int) = {
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // LAZY localCheckpoint + count(): the count materializes the
+    // checkpoint, so each round costs ONE job instead of an eager
+    // checkpoint job followed by a count job
     var cur = pairs.select(
         greatest(col("doc_a"), col("doc_b")).as("big"),
         least(col("doc_a"), col("doc_b")).as("small"))
       .filter(col("big") =!= col("small"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var rounds = 0
     var curCount = cur.count()
     var converged = curCount == 0
@@ -147,7 +163,7 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponentsStar did not converge within $maxIters rounds; " +
             "star contraction needs ~2·log2(component size) rounds — raise maxIters")
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = starRound(cur).localCheckpoint(false)
       // exact fixpoint test: both sides are distinct sets, so equal
       // cardinality + empty one-sided difference ⇒ set equality (the
       // previous round's count is carried, not recomputed — one count
@@ -167,6 +183,11 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     (labels, rounds)
   }
+
+  /** One contraction round — the per-iteration plan unit (exposed for
+    * plan inspection; see plans/r07/inner_cc_round_*.txt). */
+  private[graft] def starRound(edges: DataFrame): DataFrame =
+    smallStar(largeStar(edges))
 
   /** Large-star rewrite: for each node u (over symmetrized edges), emit
     * (v, min(Γ⁺(u))) for every neighbor v > u. Output stays canonical
@@ -203,11 +224,17 @@ object Dedup {
     * already absorbs. */
   private def smallStar(edges: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("big")
+    // leaves and centers are emitted from ONE pass via explode — a
+    // leaves.union(centers) would duplicate the whole upstream
+    // large-star pipeline into both branches (AQE reuses the shuffle
+    // stages, but the window/sort above them would still run twice)
     val withM = edges.withColumn("m", min(col("small")).over(w))
-    val leaves = withM.filter(col("small") =!= col("m"))
-      .select(col("small").as("big"), col("m").as("small"))
-    val centers = withM.select(col("big"), col("m").as("small"))
-    leaves.unionByName(centers).distinct()
+    val center = struct(col("big"), col("m").as("small"))
+    val leaf = struct(col("small").as("big"), col("m").as("small"))
+    withM.select(explode(when(col("small") =!= col("m"), array(leaf, center))
+        .otherwise(array(center))).as("e"))
+      .select(col("e.big").as("big"), col("e.small").as("small"))
+      .distinct()
   }
 
   /** Level-synchronous min-label propagation, like

@@ -40,10 +40,35 @@ object R07Plans {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
     names.foreach { name =>
-      val fn = graft.query.Queries.benchProductionOverrides
-        .getOrElse(name, graft.SparkEntry.queries(name))
-      val out = try fmt(fn(spark, sfDir)) catch {
-        case e: Throwable => s"PLAN FAILED: $e"
+      val out = name match {
+        // iterative operators: the public query plan is a checkpoint scan;
+        // dump the representative INNER shapes instead
+        case "inner_minhash_pairs" =>
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val (frame, sigs) = graft.ops.Dedup.minHashPairsPlanned(
+            docs, 3, 16, 4, 250, None, portable = false, maxDfPct = Some(5))
+          val s = fmt(frame)
+          sigs.unpersist()
+          s
+        case "inner_cc_round" =>
+          import spark.implicits._
+          val edges = Seq((5L, 1L), (4L, 1L), (3L, 2L)).toDF("big", "small")
+            .localCheckpoint(true)
+          fmt(graft.ops.Dedup.starRound(edges))
+        case "inner_bfs_level" =>
+          import org.apache.spark.sql.functions.{col, lit}
+          import spark.implicits._
+          val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+            .repartition(col("src")).localCheckpoint(true)
+          val frontier = Seq(("a", 0)).toDF("url", "depth").localCheckpoint(true)
+          fmt(edges.join(frontier.select(col("url").as("src")), "src")
+            .select(col("dst").as("url")).distinct()
+            .join(frontier.select("url"), Seq("url"), "left_anti")
+            .select(col("url"), lit(1).as("depth")))
+        case _ =>
+          val fn = graft.query.Queries.benchProductionOverrides
+            .getOrElse(name, graft.SparkEntry.queries(name))
+          try fmt(fn(spark, sfDir)) catch { case e: Throwable => s"PLAN FAILED: $e" }
       }
       Files.writeString(Paths.get(s"plans/r07/${name}_$suffix.txt"), out)
       println(s"wrote plans/r07/${name}_$suffix.txt")

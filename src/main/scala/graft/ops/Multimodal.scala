@@ -210,14 +210,21 @@ object Multimodal {
     n
   }
 
-  /** 8-bin luminance histogram over the image's pixels. */
+  /** 8-bin luminance histogram over the image's pixels. Bulk getRGB into
+    * one int row buffer instead of a per-pixel getRGB call — the
+    * per-pixel path pays a color-model dispatch per call on the decoded
+    * image's raster; the bulk path converts a row at a time. Same ARGB
+    * conversion, identical bin counts. */
   private def lumaHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
     val feat = new Array[Float](8)
+    val w = img.getWidth
+    val row = new Array[Int](w)
     var y = 0
     while (y < img.getHeight) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
+      while (x < w) {
+        val rgb = row(x)
         val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
           (rgb & 0xFF) * 114) / 1000
         feat(luma * 8 / 256) += 1.0f

@@ -1848,11 +1848,20 @@ object Queries {
   private def curationNeardupPipeline(s: SparkSession, dir: String,
       portable: Boolean): DataFrame = {
     val docs = rd(s, dir, "documents")
-    val canon = Dedup.neardupClusters(docs, n = 3, k = 16, bands = 4,
-      minEstJaccardX1000 = 250, portable = portable, maxDfPct = Some(5))
-      .filter(col("doc_id") === col("cluster_id"))
+    // canonical survivors = docs MINUS the non-canonical cluster members
+    // ("losers": pair-graph nodes whose component label isn't their own
+    // id). The loser set is bounded by the pair graph — a tiny fraction
+    // of the corpus — so an ANTI join against it replaces the old shape
+    // (label EVERY document via neardupClusters' corpus-wide left-outer
+    // join, filter label == id, LEFT SEMI back against the full corpus):
+    // one small broadcastable side instead of two corpus-sized join
+    // inputs. Result set is identical (docs ∖ losers ≡ label == id).
+    val losers = Dedup.connectedComponents(
+      Dedup.minHashPairs(docs, n = 3, k = 16, bands = 4,
+        minEstJaccardX1000 = 250, portable = portable, maxDfPct = Some(5)))
+      .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    curationFeatured(docs).join(canon, Seq("doc_id"), "left_semi")
+    curationFeatured(docs).join(losers, Seq("doc_id"), "left_anti")
       .filter(col("is_quality") && col("lang_pred") === col("lang"))
       .select("doc_id", "n_tokens")
       .orderBy("doc_id")

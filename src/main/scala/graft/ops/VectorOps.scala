@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline; MinHash-free LSH
   * (random-hyperplane signatures) and a centroid-bucketed IVF variant as
   * the 100 TB scale path (probe a few buckets instead of all vectors).
-  * Dot products are pure `zip_with`/`aggregate` expressions — codegen'd,
-  * no UDF.
+  * Dot products are pure `zip_with`/`aggregate` expressions. They are
+  * CodegenFallback (interpreted lambdas), but a closure/UDF form is NOT
+  * faster here: the per-call Catalyst→Scala array conversion costs more
+  * than the interpreted per-element multiply it saves (measured 2.3×
+  * SLOWER in the 16-centroid IVF shape, tools/R07Dot) — so the
+  * optimization lever for this family is the aggregate CALL COUNT, not
+  * the per-call form (see the redundancy-free building blocks below).
   */
 object VectorOps {
 

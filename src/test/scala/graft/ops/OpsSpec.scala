@@ -58,6 +58,34 @@ class OpsSpec extends AnyFunSuite {
     assert(sigs.map(_.getLong(0)).toSet == Set(4L))
   }
 
+  test("wordNgramsFromWords: single-pass closure == the transform expression (fuzz)") {
+    // the r07 closure swap must be output-identical to the higher-order
+    // expression it replaced, for every n and every word-count edge
+    import org.apache.spark.sql.functions._
+    def legacy(words: org.apache.spark.sql.Column, n: Int) = {
+      val idx = sequence(lit(0), size(words) - n)
+      when(size(words) >= n,
+        transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    val rnd = new scala.util.Random(7)
+    val texts = (1 to 200).map { i =>
+      val words = Seq.fill(rnd.nextInt(12))(rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      i.toLong -> words.mkString(" ")
+    } ++ Seq(201L -> "", 202L -> " ", 203L -> "solo", 204L -> "twoé wörds")
+    val d = docsOf(texts: _*)
+    for (n <- 1 to 4) {
+      val ws = split(trim(lower(col("text"))), "\\s+")
+      val rows = d.select(col("doc_id"),
+          TextOps.wordNgramsFromWords(ws, n).as("got"), legacy(ws, n).as("want"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n doc=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("df-capped shingles drop boilerplate from the pair join") {
     val boiler = "subscribe to our newsletter today"
     val d = docsOf(

@@ -594,7 +594,10 @@ object Queries {
 
   private def rateLimitDecisions(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
-      RateLimits.simulate(rateLimitRequests(s, dir).as[RateLimits.Req]).toDF()
+      // the rn window above just hash-exchanged by exactly (ip, endpoint)
+      // and only narrow ops follow — the clustered walk skips simulate's
+      // second shuffle of the request log (one exchange instead of two)
+      RateLimits.simulateClustered(rateLimitRequests(s, dir).as[RateLimits.Req]).toDF()
   }
 
   /** The matching DuckDB decision-log SELECT (no final ORDER BY) —
@@ -1267,7 +1270,11 @@ object Queries {
         when(col("ip") === 9 && col("sec") > 520, 1).otherwise(0)
       val reqs = rateLimitRequests(s, dir)
         .withColumn("endpoint", concat(col("endpoint"), lit("#"), epoch))
-      val dec = RateLimits.simulate(reqs.as[RateLimits.Req]).toDF()
+      // epoch-suffixing REFINES the (ip, endpoint) buckets the upstream
+      // rn window clustered by — every refined bucket stays inside its
+      // parent bucket's partition, so the clustered walk remains sound
+      // (its partition-local sort re-orders by the suffixed key)
+      val dec = RateLimits.simulateClustered(reqs.as[RateLimits.Req]).toDF()
         .withColumn("endpoint", substring_index(col("endpoint"), "#", 1))
       val tr = when(col("ip") === 9, 520L).otherwise(350L)
       dec.groupBy("ip", "endpoint", "limit_rpm")

@@ -76,10 +76,31 @@ object RateLimits {
     * reference's `RateLimitInfo.requests` after cleanup). A single
     * (ip, endpoint) bucket with 10⁹ requests never lands in one task's
     * memory. */
-  def simulate(reqs: Dataset[Req]): Dataset[Decision] = {
-    import reqs.sparkSession.implicits._
-    reqs
-      .repartition(col("ip"), col("endpoint"))
+  def simulate(reqs: Dataset[Req]): Dataset[Decision] =
+    walkClustered(reqs.repartition(col("ip"), col("endpoint")))
+
+  /** [[simulate]] minus the clustering exchange — for callers whose
+    * upstream plan ALREADY guarantees every (ip, endpoint) bucket lives
+    * in one partition, e.g. the rn-capped request synthesis whose
+    * row_number window just exchanged by exactly this key (narrow ops
+    * preserve it, and refining the endpoint with an epoch suffix keeps
+    * it valid: each refined bucket is a subset of its parent bucket's
+    * partition). Saves a full second shuffle of the request log — at
+    * scale the log shuffles once, not twice. The partition-local time
+    * sort still runs (the planner elides it when the inherited ordering
+    * already satisfies it). private[graft] because the clustering
+    * contract is UNCHECKED: misuse silently splits buckets across
+    * partitions and produces wrong verdicts, so each call site must
+    * prove the upstream partitioning (QueryPropertySpec pins
+    * clustered == public-path results on the window-shaped input). */
+  private[graft] def simulateClustered(reqs: Dataset[Req]): Dataset[Decision] =
+    walkClustered(reqs)
+
+  /** The bucket walk over an input whose (ip, endpoint) buckets are
+    * already partition-local. */
+  private def walkClustered(parted: Dataset[Req]): Dataset[Decision] = {
+    import parted.sparkSession.implicits._
+    parted
       .sortWithinPartitions("ip", "endpoint", "sec", "event_id")
       .mapPartitions { it =>
         var curIp = 0L

@@ -117,6 +117,37 @@ class QueryPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("clustered walk == public simulate on window-clustered input (incl. epoch refinement)") {
+    val s = spark; import s.implicits._
+    forAll(reqStream, 4) { reqs =>
+      // shape the input like rateLimitRequests does: a row_number window
+      // partitioned by exactly (ip, endpoint) — the clustering
+      // simulateClustered's contract requires — with narrow ops after it
+      val clustered = reqs.toDS().toDF()
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("ip", "endpoint").orderBy("sec", "event_id")))
+        .filter(col("rn") >= 1).drop("rn")
+        .as[RateLimits.Req]
+      val pub = RateLimits.simulate(reqs.toDS()).collect().sortBy(_.event_id)
+      val clu = RateLimits.simulateClustered(clustered).collect().sortBy(_.event_id)
+      assert(clu.toSeq == pub.toSeq)
+      // the x_quota_reset shape: the endpoint is refined AFTER the window
+      // (epoch suffix) — buckets split but stay within their parent
+      // bucket's partition, so the clustered walk must still agree
+      val refined = reqs.toDS().toDF()
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("ip", "endpoint").orderBy("sec", "event_id")))
+        .filter(col("rn") >= 1).drop("rn")
+        .withColumn("endpoint",
+          concat(col("endpoint"), lit("#"), pmod(col("sec"), lit(2))))
+        .as[RateLimits.Req]
+      val refinedInput = refined.collect().toSeq
+      val pubR = RateLimits.simulate(refinedInput.toDS()).collect().sortBy(_.event_id)
+      val cluR = RateLimits.simulateClustered(refined).collect().sortBy(_.event_id)
+      assert(cluR.toSeq == pubR.toSeq)
+    }
+  }
+
   test("limit 0 override: every request denied with the now+60 empty-bucket reset") {
     val s = spark; import s.implicits._
     // rate_limiter.py:196-203: denial with bucket.requests empty (nothing
